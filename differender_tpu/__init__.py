@@ -1,0 +1,35 @@
+"""differender_tpu — a TPU-native differentiable direct-volume-rendering
+framework (JAX / XLA / Pallas).
+
+Built from scratch with the capabilities of nanovis/Differender
+(reference mounted at `/root/reference`): scalar volume + 1D RGBA transfer
+function + camera in, RGBA image out, with exact gradients w.r.t. the volume
+and the transfer function (and, beyond the reference, the camera).
+"""
+
+__version__ = "0.1.0"
+
+from .config import RenderConfig
+from .geometry import RayBundle, make_rays, ray_directions, ray_aabb
+from .render import (RenderOutput, render, render_nondiff, render_jit,
+                     render_nondiff_jit, march_diff, march_nondiff)
+from .raycaster import (Raycaster, volume_to_internal, volume_from_internal,
+                        tf_to_internal, tf_from_internal)
+from .transfer import get_tf, get_tf_torch_layout, tex_from_pts
+from .losses import mse_loss, ssim, dssim_mse_loss
+from .optim import (tf_momentum, project_nonneg, project_unit,
+                    nan_to_num_grads, value_and_clean_grad, adamw_onecycle)
+from .utils.camera import in_circles, get_rand_pos
+
+__all__ = [
+    "RenderConfig", "RayBundle", "make_rays", "ray_directions", "ray_aabb",
+    "RenderOutput", "render", "render_nondiff", "render_jit",
+    "render_nondiff_jit", "march_diff", "march_nondiff",
+    "Raycaster", "volume_to_internal", "volume_from_internal",
+    "tf_to_internal", "tf_from_internal",
+    "get_tf", "get_tf_torch_layout", "tex_from_pts",
+    "mse_loss", "ssim", "dssim_mse_loss",
+    "tf_momentum", "project_nonneg", "project_unit", "nan_to_num_grads",
+    "value_and_clean_grad", "adamw_onecycle",
+    "in_circles", "get_rand_pos",
+]

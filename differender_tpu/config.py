@@ -1,0 +1,123 @@
+"""Static render configuration.
+
+The reference keeps this state spread across ``VolumeRaycaster.__init__``
+(`/root/reference/differender/volume_raycaster.py:58-95`): resolutions, fov,
+near/far, ``max_samples`` and hard-coded Blinn-Phong shading constants
+(`:91-95`).  Here it is a single frozen (hashable) dataclass so it can be a
+static argument under ``jax.jit``.
+"""
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    """All static knobs of the renderer.
+
+    Attributes:
+        volume_shape: Internal volume grid shape ``(X, Y, Z)``.  This is the
+            *internal* axis order; the user-facing ``Raycaster`` accepts
+            volumes in the reference's ``([BS,] 1, D, H, W)`` convention and
+            converts (see `/root/reference/differender/volume_raycaster.py:551-571`).
+        image_shape: Output image shape ``(H, W)``.
+        tf_resolution: Number of texels of the 1D RGBA transfer function.
+        sampling_rate: Default Nyquist multiplier for the differentiable path
+            (reference default 1.0, `/root/reference/differender/volume_raycaster.py:479`).
+        max_samples: Cap on differentiable march depth
+            (`/root/reference/differender/volume_raycaster.py:267-269`).
+        fov: Field of view in degrees.  NOTE the reference computes the near
+            plane height as ``2*tan(fov)`` — *not* ``tan(fov/2)`` — so the
+            effective vertical FOV is about twice the nominal value
+            (`/root/reference/differender/volume_raycaster.py:146`).  We
+            replicate that exactly.
+        near/far: Near/far plane distances (far is unused by the math, kept
+            for API parity).
+        jitter: Default for jittering ray start positions.
+        ambient/diffuse/specular/shininess: Blinn-Phong-style shading
+            constants (`/root/reference/differender/volume_raycaster.py:91-94`).
+        light_color: Headlight color (`:95`).
+        ert_threshold: Early-ray-termination opacity threshold
+            (`/root/reference/differender/volume_raycaster.py:267-268`).
+        alpha_skip: Empty-space skip threshold of the non-differentiable path
+            (`/root/reference/differender/volume_raycaster.py:334`).
+        normal_delta: Central-difference step (in normalized [-1,1] coords)
+            for gradient-based normals
+            (`/root/reference/differender/volume_raycaster.py:193`).
+        block_size: March steps per rematerialization block in the
+            differentiable path (TPU memory/time tradeoff; the reference
+            instead materializes a full ``(W, H, max_samples)`` render tape,
+            `/root/reference/differender/volume_raycaster.py:82,102-103`).
+        unroll: lax.scan unroll factor for the inner march loop.
+    """
+
+    volume_shape: Tuple[int, int, int]
+    image_shape: Tuple[int, int]
+    tf_resolution: int = 128
+    sampling_rate: float = 1.0
+    max_samples: int = 512
+    fov: float = 30.0
+    near: float = 0.1
+    far: float = 100.0
+    jitter: bool = True
+    ambient: float = 0.4
+    diffuse: float = 0.8
+    specular: float = 0.3
+    shininess: float = 32.0
+    light_color: Tuple[float, float, float] = (1.0, 1.0, 1.0)
+    ert_threshold: float = 0.99
+    alpha_skip: float = 1e-3
+    normal_delta: float = 1e-3
+    block_size: int = 32
+    unroll: int = 1
+
+    # ------------------------------------------------------------------
+    # Derived static quantities
+    # ------------------------------------------------------------------
+    @property
+    def height(self) -> int:
+        return self.image_shape[0]
+
+    @property
+    def width(self) -> int:
+        return self.image_shape[1]
+
+    @property
+    def aspect(self) -> float:
+        """W/H, matching ``render_resolution[0]/render_resolution[1]``
+        (`/root/reference/differender/volume_raycaster.py:75`)."""
+        return self.width / self.height
+
+    @property
+    def fov_rad(self) -> float:
+        return math.radians(self.fov)
+
+    @property
+    def vol_diag(self) -> float:
+        """``‖volume_shape − 1‖₂`` — the Nyquist sample-count scale
+        (`/root/reference/differender/volume_raycaster.py:248-249`)."""
+        x, y, z = self.volume_shape
+        return math.sqrt((x - 1.0) ** 2 + (y - 1.0) ** 2 + (z - 1.0) ** 2)
+
+    def max_steps_for(self, sampling_rate: float) -> int:
+        """Static upper bound on per-ray sample counts for a sampling rate.
+
+        The longest chord through the [-1,1]^3 box is its diagonal 2*sqrt(3),
+        so ``n_samples = floor(sr * ray_len * vol_diag) + 1`` is bounded by
+        this value (`/root/reference/differender/volume_raycaster.py:251-253`).
+        """
+        return int(math.floor(sampling_rate * 2.0 * math.sqrt(3.0) * self.vol_diag)) + 1
+
+    def diff_march_steps(self, sampling_rate: float) -> int:
+        """Static trip count of the differentiable march.
+
+        The reference's differentiable kernel never composites past
+        ``max_samples`` (`/root/reference/differender/volume_raycaster.py:267-269`),
+        so the scan bound is ``min(max_samples, geometric upper bound)``.
+        """
+        return min(self.max_samples, self.max_steps_for(sampling_rate))
+
+    def replace(self, **kw) -> "RenderConfig":
+        return dataclasses.replace(self, **kw)

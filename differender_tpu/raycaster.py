@@ -1,0 +1,200 @@
+"""User-facing ``Raycaster`` with the reference's API conventions.
+
+Replicates the interface of ``Raycaster(torch.nn.Module)``
+(`/root/reference/differender/volume_raycaster.py:478-574`) as a thin,
+stateless-by-default wrapper over the functional renderer:
+
+* input conventions: volume ``([BS,] 1, D, H, W)``, transfer function
+  ``([BS,] 4, R)``, camera ``([BS,] 3)`` (`:525-535`);
+* "anything batched => everything batched" broadcasting (`:551-571`);
+* output ``([BS,] 4, H, W)`` with the reference's flip+permute orientation
+  (`:536-548`) baked into ray generation;
+* batching via ``jax.vmap`` instead of the reference's serial host loop
+  (`:418-427`) — one compiled program renders all views.
+
+Jitter randomness is an explicit ``jax.random`` key.  For torch-like
+ergonomics the class can also carry an internal key (``seed=`` constructor
+arg) that is split on each call — convenient for scripts, but for use under
+``jax.jit``/``jax.grad`` pass ``key=`` explicitly.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .config import RenderConfig
+from .render import RenderOutput, render, render_nondiff
+
+Array = jax.Array
+
+
+def volume_to_internal(volume: Array) -> Array:
+    """User ``(D, H, W)`` -> internal ``(X, Y, Z) = (W, D, H)``
+    (`/root/reference/differender/volume_raycaster.py:481,566,571`)."""
+    return jnp.transpose(volume, (2, 0, 1))
+
+
+def volume_from_internal(volume: Array) -> Array:
+    """Internal ``(W, D, H)`` -> user ``(D, H, W)``."""
+    return jnp.transpose(volume, (1, 2, 0))
+
+
+def tf_to_internal(tf: Array) -> Array:
+    """User channel-major ``(4, R)`` -> internal ``(R, 4)`` (`:567,571`)."""
+    return jnp.transpose(tf, (1, 0))
+
+
+def tf_from_internal(tf: Array) -> Array:
+    return jnp.transpose(tf, (1, 0))
+
+
+class Raycaster:
+    """Differentiable volume raycaster (TPU-native).
+
+    Args match the reference constructor
+    (`/root/reference/differender/volume_raycaster.py:479`):
+
+    Args:
+        volume_shape: user-convention ``(D, H, W)`` grid shape.
+        output_shape: render resolution ``(W, H)`` (reference convention).
+        tf_shape: transfer-function resolution R.
+        sampling_rate: default Nyquist multiplier.
+        jitter: jitter ray starts by default.
+        max_samples: cap on the differentiable march depth.
+        fov / near / far: perspective camera parameters.
+        seed: seed of the internal convenience PRNG used when no explicit
+            ``key`` is passed to :meth:`forward`.
+    """
+
+    def __init__(self, volume_shape, output_shape, tf_shape: int,
+                 sampling_rate: float = 1.0, jitter: bool = True,
+                 max_samples: int = 512, fov: float = 30.0,
+                 near: float = 0.1, far: float = 100.0, seed: int = 0,
+                 **config_kwargs):
+        d, h, w = volume_shape
+        internal_shape = (w, d, h)  # (`:481`)
+        self.config = RenderConfig(
+            volume_shape=internal_shape,
+            image_shape=(output_shape[1], output_shape[0]),
+            tf_resolution=tf_shape,
+            sampling_rate=sampling_rate,
+            max_samples=max_samples,
+            fov=fov, near=near, far=far, jitter=jitter,
+            **config_kwargs,
+        )
+        self.volume_shape = internal_shape
+        self.output_shape = tuple(output_shape)
+        self.tf_shape = tf_shape
+        self.sampling_rate = sampling_rate
+        self.jitter = jitter
+        self._key = jax.random.PRNGKey(seed)
+
+    # -- RNG convenience -------------------------------------------------
+    def next_key(self) -> Array:
+        self._key, sub = jax.random.split(self._key)
+        return sub
+
+    # -- batching --------------------------------------------------------
+    def _determine_batch(self, volume: Array, tf: Array, look_from: Array):
+        """ndim-based batch detection + broadcast, mirroring
+        ``_determine_batch`` (`/root/reference/differender/volume_raycaster.py:551-571`).
+
+        Returns (batched, bs, volume (BS?, X, Y, Z), tf (BS?, R, 4),
+        look_from (BS?, 3)) in internal layouts.
+        """
+        v_b, t_b, l_b = volume.ndim == 5, tf.ndim == 3, look_from.ndim == 2
+        batched = v_b or t_b or l_b
+        # Validate declared shapes — the reference silently renders garbage
+        # on layout mistakes; we fail fast instead.
+        d, h, w = (self.volume_shape[1], self.volume_shape[2],
+                   self.volume_shape[0])
+        vs = volume.shape[-4:]
+        if vs != (1, d, h, w):
+            raise ValueError(
+                f"volume must have shape ([BS,] 1, D, H, W) = (1, {d}, {h}, "
+                f"{w}); got {volume.shape}")
+        if tf.shape[-2:] != (4, self.tf_shape):
+            raise ValueError(
+                f"tf must have shape ([BS,] 4, R={self.tf_shape}) "
+                f"(channel-major, reference convention); got {tf.shape}")
+        if look_from.shape[-1] != 3:
+            raise ValueError(f"look_from must have shape ([BS,] 3); got "
+                             f"{look_from.shape}")
+        if not batched:
+            return (False, 0,
+                    volume_to_internal(volume[0]),
+                    tf_to_internal(tf),
+                    look_from)
+        bs = (volume.shape[0] if v_b else tf.shape[0] if t_b
+              else look_from.shape[0])
+        vol = (jnp.transpose(volume[:, 0], (0, 3, 1, 2)) if v_b
+               else jnp.broadcast_to(volume_to_internal(volume[0]),
+                                     (bs,) + self.volume_shape))
+        tf_i = (jnp.transpose(tf, (0, 2, 1)) if t_b
+                else jnp.broadcast_to(tf_to_internal(tf), (bs, self.tf_shape, 4)))
+        lf = look_from if l_b else jnp.broadcast_to(look_from, (bs, 3))
+        return True, bs, vol, tf_i, lf
+
+    # -- rendering -------------------------------------------------------
+    def forward(self, volume: Array, tf: Array, look_from: Array,
+                key: Optional[Array] = None,
+                sampling_rate: Optional[float] = None) -> Array:
+        """Differentiable render; returns ``([BS,] 4, H, W)``
+        (`/root/reference/differender/volume_raycaster.py:525-548`)."""
+        out = self.forward_with_aux(volume, tf, look_from, key, sampling_rate)
+        return out.image if out.image.ndim == 3 else out.image
+
+    def __call__(self, volume, tf, look_from, key=None, sampling_rate=None):
+        return self.forward(volume, tf, look_from, key, sampling_rate)
+
+    def forward_with_aux(self, volume, tf, look_from, key=None,
+                         sampling_rate=None) -> RenderOutput:
+        volume = jnp.asarray(volume, jnp.float32)
+        tf = jnp.asarray(tf, jnp.float32)
+        look_from = jnp.asarray(look_from, jnp.float32)
+        sr = self.sampling_rate if sampling_rate is None else sampling_rate
+        batched, bs, vol, tf_i, lf = self._determine_batch(volume, tf, look_from)
+        if key is None and self.jitter:
+            key = self.next_key()
+
+        if batched:
+            keys = (jax.random.split(key, bs) if key is not None else None)
+            fn = jax.vmap(
+                lambda v, t, l, k: render(v, t, l, self.config, sr, key=k),
+                in_axes=(0, 0, 0, 0 if keys is not None else None))
+            out = fn(vol, tf_i, lf, keys)
+            image = jnp.transpose(out.image, (0, 3, 1, 2))   # (BS, 4, H, W)
+        else:
+            out = render(vol, tf_i, lf, self.config, sr, key=key)
+            image = jnp.transpose(out.image, (2, 0, 1))      # (4, H, W)
+        return RenderOutput(image=image, valid_steps=out.valid_steps,
+                            n_samples=out.n_samples)
+
+    def raycast_nondiff(self, volume, tf, look_from,
+                        sampling_rate: Optional[float] = None) -> Array:
+        """Inference render; default sampling rate ``4 * self.sampling_rate``,
+        jitter forced off (`/root/reference/differender/volume_raycaster.py:490-523`)."""
+        volume = jnp.asarray(volume, jnp.float32)
+        tf = jnp.asarray(tf, jnp.float32)
+        look_from = jnp.asarray(look_from, jnp.float32)
+        sr = 4.0 * self.sampling_rate if sampling_rate is None else sampling_rate
+        batched, bs, vol, tf_i, lf = self._determine_batch(volume, tf, look_from)
+        if batched:
+            fn = jax.vmap(
+                lambda v, t, l: render_nondiff(v, t, l, self.config, sr).image)
+            image = jnp.transpose(fn(vol, tf_i, lf), (0, 3, 1, 2))
+        else:
+            image = jnp.transpose(
+                render_nondiff(vol, tf_i, lf, self.config, sr).image, (2, 0, 1))
+        return jax.lax.stop_gradient(image)
+
+    def extra_repr(self) -> str:
+        return (f"Volume ({self.volume_shape}), Output Render "
+                f"({self.output_shape}), TF ({self.tf_shape}), "
+                f"Max Samples = {self.config.max_samples}")
+
+    def __repr__(self) -> str:
+        return f"Raycaster({self.extra_repr()})"

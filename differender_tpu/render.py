@@ -1,0 +1,251 @@
+"""The ray-march renderer: differentiable and fast inference paths.
+
+This is the functional, TPU-native replacement for the reference's
+``raycast``/``raycast_nondiff``/``get_final_image*`` Taichi kernels
+(`/root/reference/differender/volume_raycaster.py:261-372`) and for its
+``(W, H, max_samples)`` render tape (`:82,102-103`).
+
+Key design departures (TPU-first, see SURVEY §7):
+  * No materialized tape.  The differentiable march is a ``lax.scan`` over
+    fixed-size step blocks with the accumulated RGBA as carry; each block is
+    wrapped in ``jax.checkpoint`` so reverse-mode AD re-computes sample values
+    instead of storing O(H*W*S) state.  Memory: O(H*W * S/block) checkpoints.
+  * Early-ray termination / per-ray sample counts become lane masks (the
+    recurrence ``acc' = acc + active * (1-acc.a) * shaded`` is exactly the
+    reference's tape recurrence `:300-306` including the copy-forward branch).
+  * The non-differentiable path adds a *global* block-level early exit via
+    ``lax.while_loop`` — once every ray is terminated the march stops.
+  * Batching is ``jax.vmap`` (see :mod:`differender_tpu.raycaster`), not the
+    reference's serial host loop (`:418-427`).
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from .config import RenderConfig
+from .geometry import RayBundle, MarchParams, make_rays, march_params
+from .sampling import apply_tf, sample_with_gradient
+from .shading import shade
+
+Array = jax.Array
+
+
+class RenderOutput(NamedTuple):
+    """Functional replacement for ``output_rgba`` + diagnostics fields
+    (`/root/reference/differender/volume_raycaster.py:83-89`)."""
+
+    image: Array          # (H, W, 4) RGBA, image-oriented (row 0 = top)
+    valid_steps: Array    # (H, W) int32, reference `valid_sample_step_count`
+    n_samples: Array      # (H, W) int32, reference `sample_step_nums`
+
+    @property
+    def max_valid_steps(self) -> Array:
+        """Reference ``max_valid_sample_step_count``
+        (`/root/reference/differender/volume_raycaster.py:370-372`)."""
+        return jnp.max(self.valid_steps - 1)
+
+
+def _shaded_sample(volume, tf, rays: RayBundle, params: MarchParams, s,
+                   sampling_rate, config: RenderConfig, clamp_light: bool):
+    """Compute the shaded premultiplied RGBA of march step ``s`` for every
+    pixel.  Returns (shaded (H,W,4), tf_alpha (H,W))."""
+    t = params.t0 + s.astype(jnp.float32) * params.dt            # (H, W)
+    pos = rays.origin + t[..., None] * rays.dirs                 # (H, W, 3)
+    intensity, grad = sample_with_gradient(volume, pos, config.normal_delta)
+    sample_rgba = apply_tf(tf, intensity)                        # (H, W, 4)
+    shaded = shade(pos, grad, sample_rgba, rays.dirs, rays.origin,
+                   sampling_rate, config, clamp_light=clamp_light)
+    return shaded, sample_rgba[..., 3]
+
+
+def _composite(acc, shaded, active):
+    """Front-to-back over: ``tape[s] = (1 - tape[s-1].a)*shaded + tape[s-1]``
+    (`/root/reference/differender/volume_raycaster.py:300-302`), masked."""
+    return acc + active[..., None] * (1.0 - acc[..., 3:4]) * shaded
+
+
+def march_diff(
+    volume: Array,
+    tf: Array,
+    rays: RayBundle,
+    config: RenderConfig,
+    sampling_rate,
+    static_sampling_rate: float,
+    ert: bool = True,
+):
+    """Differentiable march (reference ``raycast``, `:261-306`).
+
+    Args:
+        sampling_rate: traced float used in the math (opacity correction).
+        static_sampling_rate: python float used only to size the static scan
+            bound; must be >= the traced value for exactness.
+        ert: disable to march every in-range sample (used for cross-checking
+            the sharded renderer, where early termination is not causal
+            across volume shards).
+    Returns:
+        (acc (H,W,4), valid_steps (H,W) int32)
+    """
+    params = march_params(rays)
+    H, W = config.image_shape
+    n_steps = config.diff_march_steps(static_sampling_rate)
+    block = max(1, min(config.block_size, n_steps))
+    n_blocks = -(-n_steps // block)
+
+    sr = jnp.asarray(sampling_rate, jnp.float32)
+
+    def step_fn(carry, s):
+        acc, cnt = carry
+        shaded, _ = _shaded_sample(volume, tf, rays, params, s, sr, config,
+                                   clamp_light=True)
+        active = (s < rays.n_samples) & (s < config.max_samples)
+        if ert:
+            active = active & (acc[..., 3] < config.ert_threshold)
+        acc = _composite(acc, shaded, active)
+        cnt = cnt + active.astype(jnp.int32)
+        return (acc, cnt), None
+
+    def block_fn(carry, s0):
+        steps = s0 + jnp.arange(block, dtype=jnp.int32)
+        return jax.lax.scan(step_fn, carry, steps, unroll=config.unroll)
+
+    block_fn = jax.checkpoint(block_fn, prevent_cse=False)
+
+    acc0 = jnp.zeros((H, W, 4), jnp.float32)
+    cnt0 = jnp.ones((H, W), jnp.int32)   # init 1, see `clear_framebuffer` `:381`
+    starts = jnp.arange(n_blocks, dtype=jnp.int32) * block
+    (acc, cnt), _ = jax.lax.scan(block_fn, (acc0, cnt0), starts)
+    return acc, cnt
+
+
+def march_nondiff(
+    volume: Array,
+    tf: Array,
+    rays: RayBundle,
+    config: RenderConfig,
+    sampling_rate,
+    static_sampling_rate: float,
+):
+    """Fast inference march (reference ``raycast_nondiff``, `:308-351`).
+
+    Differences vs the diff path, all mirroring the reference: in-place
+    composite (no tape), NO ``max_samples`` cap, empty-space skip for TF
+    alpha <= ``alpha_skip`` (`:334`), no ``min(1, light)`` clamp (`:344-347`),
+    and a final elementwise ``min(1, rgba)``
+    (``get_final_image_nondiff``, `:358`).
+
+    TPU addition: the march runs as a ``while_loop`` over step blocks that
+    stops as soon as every ray has either terminated (alpha >= 0.99) or
+    exhausted its samples — the SIMD analogue of per-thread early exit.
+    """
+    params = march_params(rays)
+    H, W = config.image_shape
+    n_steps = config.max_steps_for(static_sampling_rate)
+    block = max(1, min(config.block_size, n_steps))
+    n_blocks = -(-n_steps // block)
+
+    sr = jnp.asarray(sampling_rate, jnp.float32)
+
+    def step_fn(acc, s):
+        shaded, tf_alpha = _shaded_sample(volume, tf, rays, params, s, sr,
+                                          config, clamp_light=False)
+        active = (
+            (acc[..., 3] < config.ert_threshold)
+            & (s < rays.n_samples)
+            & (tf_alpha > config.alpha_skip)
+        )
+        return _composite(acc, shaded, active), None
+
+    def cond_fn(state):
+        acc, b = state
+        maybe_alive = (acc[..., 3] < config.ert_threshold) & (rays.n_samples > b * block)
+        return (b < n_blocks) & jnp.any(maybe_alive)
+
+    def body_fn(state):
+        acc, b = state
+        steps = b * block + jnp.arange(block, dtype=jnp.int32)
+        acc, _ = jax.lax.scan(step_fn, acc, steps, unroll=config.unroll)
+        return acc, b + 1
+
+    acc0 = jnp.zeros((H, W, 4), jnp.float32)
+    acc, _ = jax.lax.while_loop(cond_fn, body_fn, (acc0, jnp.int32(0)))
+    return jnp.minimum(1.0, acc)
+
+
+# ---------------------------------------------------------------------------
+# Public functional API
+# ---------------------------------------------------------------------------
+
+def render(
+    volume: Array,
+    tf: Array,
+    look_from: Array,
+    config: RenderConfig,
+    sampling_rate: Optional[float] = None,
+    key: Optional[Array] = None,
+    ert: bool = True,
+) -> RenderOutput:
+    """Differentiable render — the functional equivalent of one item of
+    ``RaycastFunction.forward`` (`/root/reference/differender/volume_raycaster.py:419-426`).
+
+    Args:
+        volume: (X, Y, Z) f32 scalar volume (internal axis order; use
+            :class:`differender_tpu.raycaster.Raycaster` for the torch-style
+            ``(1, D, H, W)`` convention).
+        tf: (R, 4) RGBA transfer function texture.
+        look_from: (3,) camera position; the camera looks at the origin.
+        config: static :class:`RenderConfig`.
+        sampling_rate: Nyquist multiplier; defaults to ``config.sampling_rate``.
+            Treated as a static python float (sizes the march bound).
+        key: optional PRNG key enabling ray-start jitter (`:254-255`).  The
+            same key in forward and VJP makes jittered gradients exact —
+            fixing the reference's stochastic backward replay (SURVEY §2.6).
+        ert: early-ray termination (on by default, as in the reference).
+
+    Gradients flow to ``volume`` and ``tf`` (and, unlike the reference, also
+    to ``look_from`` if you ask jax.grad for it — camera gradients come free
+    with functional AD).
+    """
+    sr = config.sampling_rate if sampling_rate is None else sampling_rate
+    volume = jnp.asarray(volume, jnp.float32)
+    tf = jnp.asarray(tf, jnp.float32)
+    rays = make_rays(look_from, config, sr, jitter_key=key)
+    acc, cnt = march_diff(volume, tf, rays, config, sr, float(sr), ert=ert)
+    return RenderOutput(image=acc, valid_steps=cnt, n_samples=rays.n_samples)
+
+
+def render_nondiff(
+    volume: Array,
+    tf: Array,
+    look_from: Array,
+    config: RenderConfig,
+    sampling_rate: Optional[float] = None,
+    key: Optional[Array] = None,
+) -> RenderOutput:
+    """Fast inference render — one item of ``Raycaster.raycast_nondiff``
+    (`/root/reference/differender/volume_raycaster.py:502-511`).  Default
+    sampling rate is ``4 * config.sampling_rate`` (`:493`); jitter is off
+    unless a key is passed (the reference forces it off, `:508`)."""
+    sr = 4.0 * config.sampling_rate if sampling_rate is None else sampling_rate
+    volume = jnp.asarray(volume, jnp.float32)
+    tf = jnp.asarray(tf, jnp.float32)
+    rays = make_rays(look_from, config, sr, jitter_key=key)
+    img = march_nondiff(volume, tf, rays, config, sr, float(sr))
+    # raycast_nondiff never updates valid_sample_step_count (`:315-351`).
+    cnt = jnp.ones(config.image_shape, jnp.int32)
+    return RenderOutput(image=img, valid_steps=cnt, n_samples=rays.n_samples)
+
+
+@functools.partial(jax.jit, static_argnames=("config", "sampling_rate", "ert"))
+def render_jit(volume, tf, look_from, config: RenderConfig,
+               sampling_rate=None, key=None, ert=True):
+    return render(volume, tf, look_from, config, sampling_rate, key, ert)
+
+
+@functools.partial(jax.jit, static_argnames=("config", "sampling_rate"))
+def render_nondiff_jit(volume, tf, look_from, config: RenderConfig,
+                       sampling_rate=None, key=None):
+    return render_nondiff(volume, tf, look_from, config, sampling_rate, key)

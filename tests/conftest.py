@@ -1,0 +1,57 @@
+"""Test harness config: run everything on a virtual 8-device CPU mesh so
+sharding/collective code paths are exercised without TPU hardware
+(SURVEY §4, implication (5))."""
+import os
+
+# Must be set before jax is imported anywhere.
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+# The env vars above are not enough on boxes whose sitecustomize pre-imports
+# jax with a TPU plugin (axon); force the CPU platform explicitly.
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", False)
+# Persistent compilation cache: XLA-CPU compiles dominate test wall time on
+# the 1-core CI box; cache them across runs.
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_differender")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(0)
+
+
+def make_sphere_volume(shape=(32, 32, 32), radius=0.6, soft=6.0):
+    """Synthetic test volume: a soft-edged sphere (the reference's binary
+    volumes are absent from its repo — `.MISSING_LARGE_BLOBS`; synthetic data
+    is the test strategy, SURVEY §4)."""
+    xs = [np.linspace(-1, 1, s, dtype=np.float32) for s in shape]
+    g = np.meshgrid(*xs, indexing="ij")
+    r = np.sqrt(sum(x * x for x in g))
+    return (1.0 / (1.0 + np.exp(soft * (r - radius) * 8.0))).astype(np.float32)
+
+
+def make_shell_volume(shape=(32, 32, 32), r0=0.4, r1=0.7):
+    xs = [np.linspace(-1, 1, s, dtype=np.float32) for s in shape]
+    g = np.meshgrid(*xs, indexing="ij")
+    r = np.sqrt(sum(x * x for x in g))
+    return ((r > r0) & (r < r1)).astype(np.float32) * 0.8
+
+
+@pytest.fixture(scope="session")
+def sphere_volume():
+    return make_sphere_volume()
+
+
+@pytest.fixture(scope="session")
+def shell_volume():
+    return make_shell_volume()

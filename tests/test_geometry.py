@@ -1,0 +1,102 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from differender_tpu import RenderConfig, make_rays, ray_directions, ray_aabb
+from differender_tpu.geometry import march_params
+
+import np_reference as ref
+
+
+CFG = RenderConfig(volume_shape=(16, 16, 16), image_shape=(8, 8))
+
+
+def test_ray_directions_normalized():
+    d = ray_directions(jnp.array([2.0, 0.7, 1.0]), CFG)
+    assert d.shape == (8, 8, 3)
+    np.testing.assert_allclose(np.linalg.norm(d, axis=-1), 1.0, atol=1e-6)
+
+
+def test_ray_directions_match_reference_math():
+    lf = np.array([1.7, 0.9, -2.1])
+    view_dir = -lf / np.linalg.norm(lf)
+    d = np.asarray(ray_directions(jnp.asarray(lf), CFG))
+    H, W = CFG.image_shape
+    for h in [0, 3, 7]:
+        for w in [0, 4, 7]:
+            x = (w + 0.5) / W
+            y = 1.0 - (h + 0.5) / H   # image row h = reference j = H-1-h
+            expect = ref.ray_dir(lf, view_dir, x, y, CFG.fov_rad, CFG.near,
+                                 CFG.aspect)
+            np.testing.assert_allclose(d[h, w], expect, atol=1e-5)
+
+
+def test_aabb_hit_through_center():
+    origin = jnp.array([3.0, 0.0, 0.0])
+    dirs = jnp.array([[-1.0, 0.0, 0.0]])
+    tmin, tmax, hit = ray_aabb(origin, dirs, (-1, -1, -1), (1, 1, 1))
+    assert bool(hit[0])
+    np.testing.assert_allclose(tmin[0], 2.0, atol=1e-6)
+    np.testing.assert_allclose(tmax[0], 4.0, atol=1e-6)
+
+
+def test_aabb_miss_behind_and_aside():
+    origin = jnp.array([3.0, 0.0, 0.0])
+    dirs = jnp.array([[1.0, 0.0, 0.0],      # pointing away -> tmax < 0
+                      [0.0, 1.0, 0.0]])     # parallel, outside slab
+    _, _, hit = ray_aabb(origin, dirs, (-1, -1, -1), (1, 1, 1))
+    assert not bool(hit[0])
+    assert not bool(hit[1])
+
+
+def test_n_samples_formula():
+    lf = jnp.array([0.0, 0.0, 2.5])
+    sr = 0.7
+    rays = make_rays(lf, CFG, sr)
+    # Center ray passes straight through: ray_len = 2, diag = 15*sqrt(3)
+    n_center = int(rays.n_samples[4, 4])
+    ray_len = float(rays.exit[4, 4] - rays.entry[4, 4])
+    expect = int(np.floor(sr * ray_len * CFG.vol_diag) + 1)
+    assert n_center == expect
+    assert n_center > 10
+
+
+def test_miss_rays_zero_samples():
+    # Camera very far with tiny fov still hits with all rays; move close and
+    # look past the box by using a wide image so corner rays miss.
+    cfg = CFG.replace(fov=60.0)
+    rays = make_rays(jnp.array([0.0, 0.0, 1.8]), cfg, 1.0)
+    n = np.asarray(rays.n_samples)
+    assert n[4, 4] > 0
+    assert (n == 0).any()   # corner rays miss at this fov/distance
+
+
+def test_jitter_advances_entry_within_step():
+    lf = jnp.array([0.0, 0.0, 2.5])
+    base = make_rays(lf, CFG, 1.0)
+    jit = make_rays(lf, CFG, 1.0, jitter_key=jax.random.PRNGKey(3))
+    d_entry = np.asarray(jit.entry - base.entry)
+    hit = np.asarray(base.n_samples) > 0
+    step = np.asarray((base.exit - base.entry)) / np.maximum(
+        np.asarray(base.n_samples), 1)
+    assert (d_entry[hit] >= 0).all()
+    assert (d_entry[hit] <= step[hit] + 1e-6).all()
+    # deterministic given the key
+    jit2 = make_rays(lf, CFG, 1.0, jitter_key=jax.random.PRNGKey(3))
+    np.testing.assert_array_equal(np.asarray(jit.entry), np.asarray(jit2.entry))
+
+
+def test_march_params_half_step_offset():
+    lf = jnp.array([0.0, 0.0, 2.5])
+    rays = make_rays(lf, CFG, 1.0)
+    p = march_params(rays)
+    n = np.asarray(rays.n_samples, np.float64)
+    entry, exit_ = np.asarray(rays.entry), np.asarray(rays.exit)
+    hit = n > 0
+    t0_expect = entry + 0.5 * (exit_ - entry) / np.maximum(n, 1)
+    np.testing.assert_allclose(np.asarray(p.t0)[hit], t0_expect[hit], atol=1e-6)
+    # t at last sample = exit
+    last = np.asarray(p.t0 + (rays.n_samples - 1) * p.dt)
+    multi = n > 1
+    np.testing.assert_allclose(last[multi], exit_[multi], rtol=1e-5)

@@ -1,0 +1,138 @@
+"""Gradient correctness: JAX AD through the checkpointed march vs
+finite differences of the float64 NumPy oracle (SURVEY §4, implication (3);
+target <= 1e-3 per BASELINE.md)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from differender_tpu import RenderConfig, render, get_tf
+from differender_tpu.optim import nan_to_num_grads, value_and_clean_grad
+
+import np_reference as ref
+
+
+def _loss_weights(shape, seed=0):
+    return np.random.default_rng(seed).random(shape).astype(np.float32)
+
+
+def _np_loss(vol, tf, lf, W, H, sr, weights, max_samples):
+    out, _, _ = ref.render_np(vol, tf, lf, W, H, sr, max_samples=max_samples)
+    return float(np.sum(out * weights))
+
+
+def test_volume_grads_match_finite_differences(rng):
+    vol = np.clip(rng.random((8, 8, 8), dtype=np.float32), 0.05, 0.95)
+    tf = np.asarray(get_tf("tf5", 16), np.float64)
+    tf = np.clip(tf, 0.0, 0.98)  # keep 1/(1-a)^... well-conditioned
+    lf = np.array([1.0, 0.7, 2.2])
+    W = H = 6
+    sr = 0.8
+    cfg = RenderConfig(volume_shape=vol.shape, image_shape=(H, W),
+                       tf_resolution=16, max_samples=64, block_size=8)
+    weights_wh = _loss_weights((W, H, 4))
+    weights_img = ref.to_image(weights_wh)
+
+    def loss_fn(v):
+        img = render(v, jnp.asarray(tf, jnp.float32), jnp.asarray(lf, jnp.float32),
+                     cfg, sampling_rate=sr).image
+        return jnp.sum(img * weights_img)
+
+    g = np.asarray(jax.grad(loss_fn)(jnp.asarray(vol, jnp.float32)))
+
+    eps = 1e-4
+    idxs = [(2, 3, 4), (4, 4, 4), (1, 6, 2), (6, 2, 5), (3, 3, 3), (0, 4, 4)]
+    for ijk in idxs:
+        vp, vm = vol.copy(), vol.copy()
+        vp[ijk] += eps
+        vm[ijk] -= eps
+        fd = (_np_loss(vp, tf, lf, W, H, sr, weights_wh, 64)
+              - _np_loss(vm, tf, lf, W, H, sr, weights_wh, 64)) / (2 * eps)
+        assert abs(g[ijk] - fd) < max(1e-3, 2e-2 * abs(fd)), (ijk, g[ijk], fd)
+
+
+def test_tf_grads_match_finite_differences(rng):
+    vol = np.clip(rng.random((8, 8, 8), dtype=np.float32), 0.05, 0.95)
+    tf = np.asarray(get_tf("gray", 16), np.float64)
+    lf = np.array([-1.5, 0.5, 1.8])
+    W = H = 6
+    sr = 0.8
+    cfg = RenderConfig(volume_shape=vol.shape, image_shape=(H, W),
+                       tf_resolution=16, max_samples=64, block_size=8)
+    weights_wh = _loss_weights((W, H, 4), seed=1)
+    weights_img = ref.to_image(weights_wh)
+
+    def loss_fn(t):
+        img = render(jnp.asarray(vol), t, jnp.asarray(lf, jnp.float32),
+                     cfg, sampling_rate=sr).image
+        return jnp.sum(img * weights_img)
+
+    g = np.asarray(jax.grad(loss_fn)(jnp.asarray(tf, jnp.float32)))
+
+    eps = 1e-4
+    for (r, c) in [(4, 0), (7, 3), (8, 1), (10, 3), (12, 2)]:
+        tp, tm = tf.copy(), tf.copy()
+        tp[r, c] += eps
+        tm[r, c] -= eps
+        fd = (_np_loss(vol, tp, lf, W, H, sr, weights_wh, 64)
+              - _np_loss(vol, tm, lf, W, H, sr, weights_wh, 64)) / (2 * eps)
+        assert abs(g[r, c] - fd) < max(1e-3, 2e-2 * abs(fd)), ((r, c), g[r, c], fd)
+
+
+def test_jittered_grads_deterministic(sphere_volume):
+    cfg = RenderConfig(volume_shape=sphere_volume.shape, image_shape=(6, 6),
+                       max_samples=32, block_size=8)
+    tf = jnp.asarray(get_tf("tf5", 16))
+    lf = jnp.array([1.0, 0.7, 2.2])
+    key = jax.random.PRNGKey(11)
+
+    def loss_fn(v):
+        return jnp.sum(render(v, tf, lf, cfg, sampling_rate=0.5, key=key).image)
+
+    g1 = jax.grad(loss_fn)(jnp.asarray(sphere_volume))
+    g2 = jax.grad(loss_fn)(jnp.asarray(sphere_volume))
+    np.testing.assert_array_equal(np.asarray(g1), np.asarray(g2))
+
+
+def test_grads_are_finite(sphere_volume):
+    """With an alpha=1 TF texel the opacity-correction derivative blows up in
+    the reference (inf scrubbed by nan_to_num, `:463-464`); our grads with
+    in-range TFs must be finite without scrubbing."""
+    cfg = RenderConfig(volume_shape=sphere_volume.shape, image_shape=(6, 6),
+                       max_samples=32, block_size=8)
+    tf = jnp.asarray(get_tf("tf1", 32))
+    lf = jnp.array([0.5, 1.0, 2.3])
+
+    def loss_fn(v, t):
+        return jnp.sum(render(v, t, lf, cfg, sampling_rate=1.0).image)
+
+    gv, gt = jax.grad(loss_fn, argnums=(0, 1))(jnp.asarray(sphere_volume), tf)
+    assert np.isfinite(np.asarray(gv)).all()
+    assert np.isfinite(np.asarray(gt)).all()
+    assert float(jnp.abs(gt).max()) > 0.0
+
+
+def test_value_and_clean_grad_scrubs():
+    def bad(x):
+        return jnp.sum(jnp.sqrt(x))   # grad at 0 -> inf
+
+    val, g = value_and_clean_grad(bad)(jnp.zeros(3))
+    assert np.isfinite(np.asarray(g)).all()
+    g_raw = jax.grad(bad)(jnp.zeros(3))
+    assert not np.isfinite(np.asarray(g_raw)).all()
+    scrubbed = nan_to_num_grads({"g": g_raw})
+    assert np.isfinite(np.asarray(scrubbed["g"])).all()
+
+
+def test_camera_grads_exist(sphere_volume):
+    """Beyond the reference: gradients w.r.t. the camera position."""
+    cfg = RenderConfig(volume_shape=sphere_volume.shape, image_shape=(6, 6),
+                       max_samples=32, block_size=8)
+    tf = jnp.asarray(get_tf("tf5", 16))
+
+    def loss_fn(lf):
+        return jnp.sum(render(jnp.asarray(sphere_volume), tf, lf, cfg,
+                              sampling_rate=0.5).image)
+
+    g = jax.grad(loss_fn)(jnp.array([1.0, 0.7, 2.2]))
+    assert np.isfinite(np.asarray(g)).all()
+    assert float(jnp.abs(g).max()) > 0.0

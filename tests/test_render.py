@@ -1,0 +1,131 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from differender_tpu import RenderConfig, render, render_nondiff, get_tf
+
+import np_reference as ref
+
+
+def _setup(sphere_volume, W=10, H=8, tf_id="tf1", tf_res=32):
+    cfg = RenderConfig(volume_shape=sphere_volume.shape, image_shape=(H, W))
+    tf = np.asarray(get_tf(tf_id, tf_res))
+    lf = np.array([1.2, 0.8, 2.0], np.float32)
+    return cfg, tf, lf
+
+
+def test_diff_render_matches_oracle(sphere_volume):
+    cfg, tf, lf = _setup(sphere_volume)
+    sr = 0.5
+    out = render(sphere_volume, tf, lf, cfg, sampling_rate=sr)
+    want_wh4, counts, nsamp = ref.render_np(
+        sphere_volume, tf, lf, cfg.width, cfg.height, sr,
+        max_samples=cfg.max_samples)
+    want = ref.to_image(want_wh4)
+    np.testing.assert_allclose(np.asarray(out.image), want, atol=2e-4)
+    np.testing.assert_array_equal(
+        np.asarray(out.valid_steps), ref.to_image(counts[..., None])[..., 0])
+    np.testing.assert_array_equal(
+        np.asarray(out.n_samples), ref.to_image(nsamp[..., None])[..., 0])
+
+
+def test_nondiff_render_matches_oracle(sphere_volume):
+    cfg, tf, lf = _setup(sphere_volume)
+    sr = 1.5
+    out = render_nondiff(sphere_volume, tf, lf, cfg, sampling_rate=sr)
+    want_wh4, _, _ = ref.render_np(
+        sphere_volume, tf, lf, cfg.width, cfg.height, sr, nondiff=True)
+    np.testing.assert_allclose(
+        np.asarray(out.image), ref.to_image(want_wh4), atol=2e-4)
+
+
+def test_diff_render_opaque_ert(shell_volume):
+    """Early-ray termination path with a near-opaque TF."""
+    cfg = RenderConfig(volume_shape=shell_volume.shape, image_shape=(8, 8))
+    tf = np.zeros((16, 4), np.float32)
+    tf[8:, :] = 0.95   # opaque above mid intensity
+    lf = np.array([0.0, 0.5, 2.6], np.float32)
+    sr = 1.0
+    out = render(shell_volume, tf, lf, cfg, sampling_rate=sr)
+    want_wh4, counts, _ = ref.render_np(
+        shell_volume, tf, lf, cfg.width, cfg.height, sr,
+        max_samples=cfg.max_samples)
+    # At the 0.99 ERT knife edge, f32-vs-f64 rounding can shift the last
+    # composited sample by one; the residual transmittance there is <= 0.01,
+    # which bounds the resulting pixel difference.
+    np.testing.assert_allclose(
+        np.asarray(out.image), ref.to_image(want_wh4), atol=1.5e-2)
+    # ERT must actually have kicked in somewhere
+    n = np.asarray(out.n_samples)
+    c = np.asarray(out.valid_steps) - 1
+    assert (c[n > 0] < n[n > 0]).any()
+    ref_counts = ref.to_image(counts[..., None])[..., 0]
+    assert np.abs((c + 1) - ref_counts).max() <= 1
+
+
+def test_jittered_render_matches_oracle(sphere_volume):
+    """Jitter parity: feed the oracle the same uniform draws JAX used."""
+    cfg, tf, lf = _setup(sphere_volume, W=6, H=6)
+    sr = 0.7
+    key = jax.random.PRNGKey(7)
+    out = render(sphere_volume, tf, lf, cfg, sampling_rate=sr, key=key)
+
+    # Reconstruct the per-pixel uniforms in the internal (W, H) layout.
+    u_hw = np.asarray(jax.random.uniform(key, cfg.image_shape))  # (H, W)
+    u_wh = np.flip(u_hw, axis=0).T                                # (W, H)
+    want_wh4, _, _ = ref.render_np(
+        sphere_volume, tf, lf, cfg.width, cfg.height, sr,
+        max_samples=cfg.max_samples, jitter_t=u_wh)
+    np.testing.assert_allclose(
+        np.asarray(out.image), ref.to_image(want_wh4), atol=3e-4)
+
+
+def test_render_deterministic_and_jit_consistent(sphere_volume):
+    cfg, tf, lf = _setup(sphere_volume, W=6, H=6)
+    key = jax.random.PRNGKey(1)
+    a = render(sphere_volume, tf, lf, cfg, sampling_rate=0.5, key=key).image
+    b = jax.jit(
+        lambda v, t, l: render(v, t, l, cfg, sampling_rate=0.5,
+                               key=key).image)(sphere_volume, tf, lf)
+    # jit changes fusion (and thus f32 rounding) vs eager; only closeness is
+    # guaranteed, not bitwise equality.
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+
+
+def test_max_samples_cap(sphere_volume):
+    """With a tiny max_samples the march must stop exactly there."""
+    cfg = RenderConfig(volume_shape=sphere_volume.shape, image_shape=(6, 6),
+                       max_samples=5)
+    tf = np.asarray(get_tf("gray", 16))
+    lf = np.array([0.0, 0.3, 2.5], np.float32)
+    out = render(sphere_volume, tf, lf, cfg, sampling_rate=1.0)
+    want_wh4, counts, _ = ref.render_np(
+        sphere_volume, tf, lf, 6, 6, 1.0, max_samples=5)
+    np.testing.assert_allclose(
+        np.asarray(out.image), ref.to_image(want_wh4), atol=2e-4)
+    assert int(np.max(np.asarray(out.valid_steps) - 1)) <= 5
+
+
+def test_vmap_batching_matches_loop(sphere_volume):
+    cfg, tf, _ = _setup(sphere_volume, W=6, H=6)
+    lfs = np.stack([[1.2, 0.8, 2.0], [-2.0, 0.5, 1.0], [0.3, -1.0, 2.2]]
+                   ).astype(np.float32)
+    batched = jax.vmap(
+        lambda l: render(sphere_volume, tf, l, cfg, sampling_rate=0.5).image
+    )(jnp.asarray(lfs))
+    for k in range(3):
+        single = render(sphere_volume, tf, lfs[k], cfg, sampling_rate=0.5).image
+        np.testing.assert_allclose(np.asarray(batched[k]), np.asarray(single),
+                                   atol=1e-6)
+
+
+def test_miss_pixels_are_zero(sphere_volume):
+    cfg = RenderConfig(volume_shape=sphere_volume.shape, image_shape=(8, 8),
+                       fov=60.0)
+    tf = np.asarray(get_tf("gray", 16))
+    lf = np.array([0.0, 0.0, 1.8], np.float32)
+    out = render(sphere_volume, tf, lf, cfg, sampling_rate=1.0)
+    n = np.asarray(out.n_samples)
+    img = np.asarray(out.image)
+    assert (n == 0).any()
+    assert np.all(img[n == 0] == 0.0)
