@@ -1,0 +1,28 @@
+"""Multi-device parallelism (SPMD over jax.sharding meshes).
+
+The reference is strictly single-GPU with a *serial host loop* over batch
+items (`/root/reference/differender/volume_raycaster.py:418-427`) and has no
+distributed layer at all (SURVEY §2.11).  This package is the TPU-native
+replacement:
+
+* :mod:`data_parallel` — multi-view data parallelism: shard the view batch
+  over a mesh axis, replicate volume/TF, reduce gradients with ``psum``
+  (implicit through jit/shard_map transposes).
+* :mod:`volume_sharding` — spatial volume sharding for volumes that exceed
+  one chip's HBM (the 1024³ stretch config): the volume grid is sharded
+  along its X axis, each shard renders the contiguous ray segment that
+  crosses it (a convex slab ⇒ one t-interval per ray), 2-voxel halos are
+  exchanged with ``lax.ppermute``, and the per-shard partial composites are
+  combined with the associative front-to-back "over" operator in per-pixel
+  camera order after an ``all_gather``.
+"""
+from .data_parallel import render_views, view_parallel_grads
+from .volume_sharding import (render_volume_sharded, shard_volume,
+                              HALO, compose_segments, segment_render,
+                              segment_length)
+
+__all__ = [
+    "render_views", "view_parallel_grads",
+    "render_volume_sharded", "shard_volume", "HALO", "compose_segments",
+    "segment_render", "segment_length",
+]

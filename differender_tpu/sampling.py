@@ -58,15 +58,17 @@ def _corner_weights(frac: Array) -> Array:
     return w.reshape(*frac.shape[:-1], 8)
 
 
-def trilinear(volume: Array, pos: Array) -> Array:
-    """Trilinearly sample ``volume`` (X, Y, Z) at world positions ``pos``
-    (..., 3) in [-1,1]^3.  Exact reference semantics
+def corner_indices_weights(pos: Array, volume_shape):
+    """The 8 (clamped, global) corner indices and trilinear weights for
+    world positions ``pos`` (..., 3).  Exact reference semantics
     (`/root/reference/differender/volume_raycaster.py:153-189`): per-axis
     ``low = floor(max(coord, 0))``, ``high = min(low+1, axis_len-1)``,
     ``frac = coord - low`` (frac computed before the high clamp).
+
+    Returns: idx (..., 8, 3) int32, weights (..., 8) f32.
     """
-    X, Y, Z = volume.shape
-    pv = voxel_coords(pos, volume.shape)          # (..., 3), >= 0 by clamp
+    X, Y, Z = volume_shape
+    pv = voxel_coords(pos, volume_shape)          # (..., 3), >= 0 by clamp
     low = jnp.floor(pv)
     frac = pv - low
     low = low.astype(jnp.int32)                   # (..., 3)
@@ -74,10 +76,33 @@ def trilinear(volume: Array, pos: Array) -> Array:
     idx = low[..., None, :] + _CORNERS            # (..., 8, 3)
     limit = np.asarray([X - 1, Y - 1, Z - 1], np.int32)
     idx = jnp.minimum(idx, limit)                 # clamp highs (`:170-172`)
+    return idx, _corner_weights(frac)
 
+
+def trilinear(volume: Array, pos: Array) -> Array:
+    """Trilinearly sample ``volume`` (X, Y, Z) at world positions ``pos``
+    (..., 3) in [-1,1]^3 (reference ``sample_volume_trilinear``)."""
+    Y, Z = volume.shape[1], volume.shape[2]
+    idx, w = corner_indices_weights(pos, volume.shape)
     flat = (idx[..., 0] * Y + idx[..., 1]) * Z + idx[..., 2]   # (..., 8)
     vals = jnp.take(volume.reshape(-1), flat, axis=0)          # one gather
-    w = _corner_weights(frac)
+    return jnp.sum(vals * w, axis=-1)
+
+
+def trilinear_shard(padded: Array, pos: Array, global_shape, x_start) -> Array:
+    """Trilinear sampling against an X-sharded volume block.
+
+    ``padded`` is the local shard plus halos, covering global x indices
+    ``[x_start, x_start + padded.shape[0])``.  Corner indices are computed in
+    GLOBAL coordinates (bit-identical to the unsharded path) and then
+    localized; out-of-shard lanes (masked by the caller's ownership test)
+    are clamped into the block to stay in bounds.
+    """
+    Y, Z = padded.shape[1], padded.shape[2]
+    idx, w = corner_indices_weights(pos, global_shape)
+    lx = jnp.clip(idx[..., 0] - x_start, 0, padded.shape[0] - 1)
+    flat = (lx * Y + idx[..., 1]) * Z + idx[..., 2]
+    vals = jnp.take(padded.reshape(-1), flat, axis=0)
     return jnp.sum(vals * w, axis=-1)
 
 
@@ -107,6 +132,10 @@ def sample_with_gradient(volume: Array, pos: Array, delta: float = 1e-3):
     """
     pts = pos[..., None, :] + delta * _NORMAL_OFFSETS          # (..., 7, 3)
     vals = trilinear(volume, pts)                              # (..., 7)
+    return _split_value_gradient(vals)
+
+
+def _split_value_gradient(vals: Array):
     intensity = vals[..., 0]
     grad = jnp.stack(
         [vals[..., 1] - vals[..., 2],
@@ -115,6 +144,16 @@ def sample_with_gradient(volume: Array, pos: Array, delta: float = 1e-3):
         axis=-1,
     )
     return intensity, grad
+
+
+def sample_with_gradient_shard(padded: Array, pos: Array, global_shape,
+                               x_start, delta: float = 1e-3):
+    """Sharded-volume variant of :func:`sample_with_gradient`; the +-delta
+    stencil reaches at most 2 voxels past the ownership slab, covered by the
+    exchanged halos (see :mod:`differender_tpu.parallel.volume_sharding`)."""
+    pts = pos[..., None, :] + delta * _NORMAL_OFFSETS
+    vals = trilinear_shard(padded, pts, global_shape, x_start)
+    return _split_value_gradient(vals)
 
 
 def apply_tf(tf: Array, intensity: Array) -> Array:

@@ -1,0 +1,150 @@
+"""Multi-device tests on the virtual 8-CPU-device mesh (SURVEY §4 impl. 5)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.sharding import Mesh, PartitionSpec as P
+
+from differender_tpu import RenderConfig, render, get_tf, mse_loss
+from differender_tpu.parallel import (render_views, view_parallel_grads,
+                                      render_volume_sharded, shard_volume)
+
+
+def _mesh(axis, n):
+    return Mesh(np.array(jax.devices()[:n]), (axis,))
+
+
+def _cfg(shape, hw=(6, 6), **kw):
+    kw.setdefault("max_samples", 48)
+    kw.setdefault("block_size", 8)
+    return RenderConfig(volume_shape=shape, image_shape=hw, **kw)
+
+
+def test_eight_devices_available():
+    assert len(jax.devices()) == 8
+
+
+def test_render_views_matches_single(sphere_volume):
+    cfg = _cfg(sphere_volume.shape)
+    tf = jnp.asarray(get_tf("tf5", 16))
+    lfs = jnp.asarray(np.stack(
+        [[np.cos(a) * 2.4, 0.6, np.sin(a) * 2.4] for a in
+         np.linspace(0, 3, 8)]).astype(np.float32))
+    mesh = _mesh("views", 8)
+    imgs = render_views(jnp.asarray(sphere_volume), tf, lfs, cfg, mesh,
+                        sampling_rate=0.5)
+    assert imgs.shape == (8, 6, 6, 4)
+    for k in [0, 3, 7]:
+        single = render(sphere_volume, tf, lfs[k], cfg, sampling_rate=0.5).image
+        np.testing.assert_allclose(np.asarray(imgs[k]), np.asarray(single),
+                                   atol=1e-4)
+
+
+def test_view_parallel_grads_match_single_device(sphere_volume):
+    cfg = _cfg(sphere_volume.shape)
+    tf = jnp.asarray(get_tf("tf5", 16))
+    vol = jnp.asarray(sphere_volume)
+    lfs = jnp.asarray(np.stack(
+        [[np.cos(a) * 2.4, 0.6, np.sin(a) * 2.4] for a in
+         np.linspace(0, 3, 8)]).astype(np.float32))
+    targets = jax.vmap(
+        lambda l: render(vol, tf, l, cfg, sampling_rate=0.5).image)(lfs)
+    targets = targets * 0.9   # make the loss nonzero
+
+    mesh = _mesh("views", 8)
+    loss, (gv, gt) = view_parallel_grads(
+        mse_loss, vol, tf, lfs, targets, cfg, mesh, sampling_rate=0.5)
+
+    def single_loss(v, t):
+        imgs = jax.vmap(lambda l: render(v, t, l, cfg, sampling_rate=0.5).image)(lfs)
+        return jnp.mean(jax.vmap(mse_loss)(imgs, targets))
+
+    loss_s, (gv_s, gt_s) = jax.value_and_grad(single_loss, argnums=(0, 1))(vol, tf)
+    np.testing.assert_allclose(float(loss), float(loss_s), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(gv), np.asarray(gv_s),
+                               atol=1e-4, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(gt), np.asarray(gt_s),
+                               atol=1e-4, rtol=1e-3)
+
+
+@pytest.mark.parametrize("n_shards", [2, 4, 8])
+def test_volume_sharded_matches_unsharded(sphere_volume, n_shards):
+    cfg = _cfg(sphere_volume.shape)
+    tf = jnp.asarray(get_tf("tf5", 16))
+    lf = jnp.asarray(np.array([1.3, 0.7, 2.1], np.float32))
+    mesh = _mesh("space", n_shards)
+    vol_sharded = shard_volume(jnp.asarray(sphere_volume), mesh)
+    out = render_volume_sharded(vol_sharded, tf, lf, cfg, mesh,
+                                sampling_rate=0.6)
+    want = render(sphere_volume, tf, lf, cfg, sampling_rate=0.6, ert=False)
+    np.testing.assert_allclose(np.asarray(out.image), np.asarray(want.image),
+                               atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(out.valid_steps),
+                                  np.asarray(want.valid_steps))
+
+
+def test_volume_sharded_axis_aligned_view(sphere_volume):
+    """Camera along the shard axis: all rays cross every shard."""
+    cfg = _cfg(sphere_volume.shape)
+    tf = jnp.asarray(get_tf("tf5", 16))
+    lf = jnp.asarray(np.array([2.5, 0.05, 0.1], np.float32))   # ~ -x view
+    mesh = _mesh("space", 4)
+    out = render_volume_sharded(shard_volume(jnp.asarray(sphere_volume), mesh),
+                                tf, lf, cfg, mesh, sampling_rate=0.6)
+    want = render(sphere_volume, tf, lf, cfg, sampling_rate=0.6, ert=False)
+    np.testing.assert_allclose(np.asarray(out.image), np.asarray(want.image),
+                               atol=1e-4)
+
+
+def test_volume_sharded_jitter(sphere_volume):
+    cfg = _cfg(sphere_volume.shape)
+    tf = jnp.asarray(get_tf("tf5", 16))
+    lf = jnp.asarray(np.array([1.3, 0.7, 2.1], np.float32))
+    key = jax.random.PRNGKey(3)
+    mesh = _mesh("space", 4)
+    out = render_volume_sharded(shard_volume(jnp.asarray(sphere_volume), mesh),
+                                tf, lf, cfg, mesh, sampling_rate=0.6, key=key)
+    want = render(sphere_volume, tf, lf, cfg, sampling_rate=0.6, ert=False,
+                  key=key)
+    np.testing.assert_allclose(np.asarray(out.image), np.asarray(want.image),
+                               atol=1e-4)
+
+
+def test_volume_sharded_grads_match(sphere_volume):
+    cfg = _cfg(sphere_volume.shape, hw=(5, 5), max_samples=32)
+    tf = jnp.asarray(get_tf("tf5", 16))
+    lf = jnp.asarray(np.array([1.3, 0.7, 2.1], np.float32))
+    mesh = _mesh("space", 4)
+    w = jnp.asarray(np.random.default_rng(0).random((5, 5, 4), np.float32))
+
+    def loss_sharded(v, t):
+        img = render_volume_sharded(v, t, lf, cfg, mesh,
+                                    sampling_rate=0.6).image
+        return jnp.sum(img * w)
+
+    def loss_single(v, t):
+        img = render(v, t, lf, cfg, sampling_rate=0.6, ert=False).image
+        return jnp.sum(img * w)
+
+    vol = jnp.asarray(sphere_volume)
+    gv, gt = jax.grad(loss_sharded, argnums=(0, 1))(vol, tf)
+    gv_s, gt_s = jax.grad(loss_single, argnums=(0, 1))(vol, tf)
+    np.testing.assert_allclose(np.asarray(gv), np.asarray(gv_s),
+                               atol=2e-4, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(gt), np.asarray(gt_s),
+                               atol=2e-4, rtol=1e-3)
+
+
+def test_volume_sharded_segment_window(sphere_volume):
+    """A reduced per-shard window still renders exactly for a side-on view
+    (each shard's slab chord is short)."""
+    cfg = _cfg(sphere_volume.shape)
+    tf = jnp.asarray(get_tf("tf5", 16))
+    lf = jnp.asarray(np.array([0.1, 0.4, 2.4], np.float32))  # ~ -z view
+    mesh = _mesh("space", 8)
+    out = render_volume_sharded(
+        shard_volume(jnp.asarray(sphere_volume), mesh), tf, lf, cfg, mesh,
+        sampling_rate=0.6, segment_max_samples=16)
+    want = render(sphere_volume, tf, lf, cfg, sampling_rate=0.6, ert=False)
+    np.testing.assert_allclose(np.asarray(out.image), np.asarray(want.image),
+                               atol=1e-4)
