@@ -1,0 +1,162 @@
+"""Headline benchmark (driver-run on TPU).
+
+Metric (BASELINE.json): fwd+bwd steps/sec at 256^3 volume, 512^2 image,
+plus forward Mrays/s.  Prints ONE JSON line.
+
+Methodology notes:
+  * Measurements chain a scalar through every iteration (the camera is
+    perturbed by it), so no two executions see identical inputs — this
+    defeats any transparent result caching in remote-TPU relays and forces
+    a true device round per step.
+  * Headline numbers use the ``analytic_normals`` fast mode (values exact,
+    normals analytic — 8 instead of 56 gathered elements per sample);
+    reference-parity mode timings are reported in ``aux``.
+  * ``vs_baseline``: the reference publishes no numbers and Taichi is not
+    installable here, so the baseline is THIS renderer on CPU (same mode),
+    measured once at a scaled-down config and extrapolated linearly in
+    sample count (cached in BASELINE_MEASURED.json).  See BASELINE.md.
+"""
+import json
+import os
+import subprocess
+import sys
+import time
+
+BASE = os.path.dirname(os.path.abspath(__file__))
+CACHE = os.path.join(BASE, "BASELINE_MEASURED.json")
+
+VOL, IMG, MAX_SAMPLES, TF_RES, SR, BLOCK = 256, 512, 512, 128, 1.0, 8
+CPU_VOL, CPU_IMG, CPU_MS = 64, 128, 128   # CPU proxy config
+
+_CPU_SCRIPT = r"""
+import json, time, sys
+import jax
+jax.config.update('jax_platforms', 'cpu')
+import numpy as np, jax.numpy as jnp
+sys.path.insert(0, %(base)r)
+from differender_tpu import RenderConfig, render
+from differender_tpu.transfer import get_tf
+vol = jnp.asarray(np.random.default_rng(0).random((%(v)d,)*3, np.float32) * 0.5)
+cfg = RenderConfig(volume_shape=(%(v)d,)*3, image_shape=(%(i)d, %(i)d),
+                   max_samples=%(ms)d, block_size=%(blk)d,
+                   analytic_normals=True)
+tf = jnp.asarray(np.asarray(get_tf('tf1', %(tf)d)))
+lf0 = np.array([1.2, 0.8, 2.0], np.float32)
+
+@jax.jit
+def step(c):
+    lf = jnp.asarray(lf0) + c * 1e-6
+    g = jax.grad(lambda v, t: jnp.mean(
+        render(v, t, lf, cfg, sampling_rate=%(sr)f).image ** 2),
+        argnums=(0, 1))(vol, tf)
+    return c + 1 + g[0].sum() * 0
+
+c = step(jnp.float32(0)); jax.block_until_ready(c)
+t0 = time.time(); n = 2
+for _ in range(n):
+    c = step(c)
+jax.block_until_ready(c)
+print(json.dumps({'cpu_step_s': (time.time() - t0) / n}))
+"""
+
+
+def measure_cpu_baseline():
+    if os.path.exists(CACHE):
+        with open(CACHE) as f:
+            return json.load(f)
+    script = _CPU_SCRIPT % dict(base=BASE, v=CPU_VOL, i=CPU_IMG, ms=CPU_MS,
+                                blk=BLOCK, tf=TF_RES, sr=SR)
+    out = subprocess.run([sys.executable, "-c", script], capture_output=True,
+                         text=True, timeout=3600)
+    cpu_small = json.loads(out.stdout.strip().splitlines()[-1])["cpu_step_s"]
+    scale = (IMG * IMG * MAX_SAMPLES) / (CPU_IMG * CPU_IMG * CPU_MS)
+    data = {
+        "cpu_small_step_s": cpu_small,
+        "cpu_small_config": [CPU_VOL, CPU_IMG, CPU_MS],
+        "sample_scale": scale,
+        "cpu_step_s_extrapolated": cpu_small * scale,
+    }
+    with open(CACHE, "w") as f:
+        json.dump(data, f, indent=1)
+    return data
+
+
+def _chain_bench(f, n):
+    import jax
+    import jax.numpy as jnp
+    c = f(jnp.float32(0.0))
+    jax.block_until_ready(c)
+    t0 = time.time()
+    for _ in range(n):
+        c = f(c)
+    jax.block_until_ready(c)
+    return (time.time() - t0) / n
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from differender_tpu import RenderConfig, render, render_nondiff
+    from differender_tpu.transfer import get_tf
+
+    key = jax.random.PRNGKey(0)
+    vol = jax.random.uniform(key, (VOL,) * 3, jnp.float32) * 0.5
+    tf = jnp.asarray(np.asarray(get_tf("tf1", TF_RES)))
+    lf0 = np.array([1.2, 0.8, 2.0], np.float32)
+
+    def make(cfg, mode):
+        if mode == "grad":
+            @jax.jit
+            def f(c):
+                lf = jnp.asarray(lf0) + c * 1e-6
+                g = jax.grad(lambda v, t: jnp.mean(
+                    render(v, t, lf, cfg, sampling_rate=SR).image ** 2),
+                    argnums=(0, 1))(vol, tf)
+                return c + 1 + g[0].sum() * 0
+        else:
+            @jax.jit
+            def f(c):
+                lf = jnp.asarray(lf0) + c * 1e-6
+                img = render_nondiff(vol, tf, lf, cfg, sampling_rate=SR).image
+                return c + 1 + img.sum() * 0
+        return f
+
+    cfg_fast = RenderConfig(volume_shape=(VOL,) * 3, image_shape=(IMG, IMG),
+                            max_samples=MAX_SAMPLES, block_size=BLOCK,
+                            analytic_normals=True)
+    cfg_parity = cfg_fast.replace(analytic_normals=False)
+
+    step_s = _chain_bench(make(cfg_fast, "grad"), n=2)
+    fwd_s = _chain_bench(make(cfg_fast, "fwd"), n=2)
+    try:
+        # parity mode moves 7x more gathered bytes; smaller blocks keep the
+        # intermediates inside HBM. Transient TPU infra errors -> None.
+        parity_step_s = _chain_bench(
+            make(cfg_parity.replace(block_size=4), "grad"), n=1)
+    except Exception:
+        parity_step_s = None
+
+    try:
+        cpu = measure_cpu_baseline()
+        vs_baseline = cpu["cpu_step_s_extrapolated"] / step_s
+    except Exception:
+        vs_baseline = None
+
+    print(json.dumps({
+        "metric": "fwd+bwd steps/sec @ 256^3 vol, 512^2 img",
+        "value": round(1.0 / step_s, 4),
+        "unit": "steps/s",
+        "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
+        "aux": {
+            "fwd_nondiff_mrays_per_s": round(IMG * IMG / fwd_s / 1e6, 3),
+            "fwd_nondiff_s": round(fwd_s, 4),
+            "fwd_bwd_s": round(step_s, 4),
+            "parity_mode_fwd_bwd_s": (round(parity_step_s, 4)
+                                      if parity_step_s else None),
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -72,6 +72,10 @@ class RenderConfig:
     normal_delta: float = 1e-3
     block_size: int = 32
     unroll: int = 1
+    analytic_normals: bool = False   # fast mode: in-cell analytic gradient
+                                     # (8 instead of 56 gathers per sample;
+                                     # values exact, normals near-identical —
+                                     # see sampling.sample_with_gradient_analytic)
 
     # ------------------------------------------------------------------
     # Derived static quantities

@@ -91,6 +91,12 @@ def adamw_onecycle(max_lr: float, total_steps: int,
                    weight_decay: float = 0.0) -> optax.GradientTransformation:
     """AdamW + OneCycle schedule, replicating the volume inverse-rendering
     optimizer setup (`/root/reference/examples/test_opt_tf.py:55-56`)."""
+    if int(0.3 * total_steps) < 1:
+        # optax's onecycle warmup length is int(pct_start*total): a zero-step
+        # warmup divides by zero and yields NaN learning rates.
+        raise ValueError(
+            f"total_steps={total_steps} too small for a OneCycle schedule "
+            "(needs >= 4 so the warmup phase is at least one step)")
     schedule = optax.cosine_onecycle_schedule(
         transition_steps=total_steps, peak_value=max_lr)
     return optax.adamw(schedule, weight_decay=weight_decay)

@@ -39,7 +39,7 @@ from ..config import RenderConfig
 from ..geometry import RayBundle, make_rays, march_params
 from ..sampling import apply_tf, sample_with_gradient_shard
 from ..shading import shade
-from ..render import RenderOutput, _composite
+from ..render import RenderOutput, composite_block
 
 Array = jax.Array
 
@@ -147,26 +147,26 @@ def segment_render(vol_local: Array, tf: Array, rays: RayBundle,
     x_lo_vox = (k * xl).astype(jnp.float32)
     x_hi_vox = ((k + 1) * xl).astype(jnp.float32)
 
-    def step_fn(carry, o):
+    def block_fn(carry, b):
         acc, cnt = carry
-        s = s_lo + o                       # (H, W) per-ray step index
-        t = params.t0 + s.astype(jnp.float32) * params.dt
-        pos = rays.origin + t[..., None] * rays.dirs
+        offsets = b * block + jnp.arange(block, dtype=jnp.int32)
+        steps = s_lo[None] + offsets[:, None, None]     # (K, H, W) per-ray
+        t = params.t0[None] + steps.astype(jnp.float32) * params.dt[None]
+        pos = rays.origin + t[..., None] * rays.dirs[None]
         px = jnp.clip(0.5 * pos[..., 0] + 0.5, 0.0, 1.0) * scale_x
         own = (px >= x_lo_vox) & (px < x_hi_vox)
         intensity, grad = sample_with_gradient_shard(
             padded, pos, config.volume_shape, x_start, config.normal_delta)
         sample_rgba = apply_tf(tf, intensity)
-        shaded = shade(pos, grad, sample_rgba, rays.dirs, rays.origin,
+        shaded = shade(pos, grad, sample_rgba, rays.dirs[None], rays.origin,
                        sr_t, config, clamp_light=True)
-        active = own & (s < rays.n_samples) & (s < config.max_samples)
-        acc = _composite(acc, shaded, active)
-        cnt = cnt + active.astype(jnp.int32)
+        eligible = own & (steps < rays.n_samples[None]) \
+            & (steps < config.max_samples)
+        # No cross-shard ERT (sequential across devices); matches
+        # render(..., ert=False) exactly — see module docstring.
+        acc, cnt, _ = composite_block(acc, cnt, shaded, eligible, config,
+                                      ert=False)
         return (acc, cnt), None
-
-    def block_fn(carry, b):
-        offsets = b * block + jnp.arange(block, dtype=jnp.int32)
-        return jax.lax.scan(step_fn, carry, offsets, unroll=config.unroll)
 
     block_fn = jax.checkpoint(block_fn, prevent_cse=False)
     H, W = config.image_shape

@@ -28,7 +28,8 @@ import jax.numpy as jnp
 
 from .config import RenderConfig
 from .geometry import RayBundle, MarchParams, make_rays, march_params
-from .sampling import apply_tf, sample_with_gradient
+from .sampling import (apply_tf, sample_with_gradient,
+                       sample_with_gradient_analytic)
 from .shading import shade
 
 Array = jax.Array
@@ -68,6 +69,95 @@ def _composite(acc, shaded, active):
     return acc + active[..., None] * (1.0 - acc[..., 3:4]) * shaded
 
 
+def _eval_block(volume, tf, rays: RayBundle, params: MarchParams, steps,
+                sampling_rate, config: RenderConfig, clamp_light: bool):
+    """Evaluate K march steps AT ONCE (batched over a leading step axis).
+
+    TPU-first design: per-step kernels on (H, W) tensors are launch-latency
+    bound; batching K steps gives XLA (K, H, W)-shaped fusions and one large
+    gather per block.  Sample evaluation is step-independent — only the
+    compositing recurrence is sequential, and that is handled in closed form
+    by :func:`composite_block`.
+
+    ``steps`` may be (K,) shared across rays or (K, H, W) per-ray (used by
+    the volume-sharded segment march).
+    Returns (shaded (K,H,W,4), tf_alpha (K,H,W), in_range (K,H,W), pos).
+    """
+    steps3 = steps if steps.ndim == 3 else steps[:, None, None]
+    t = params.t0[None] + steps3.astype(jnp.float32) * params.dt[None]
+    pos = rays.origin + t[..., None] * rays.dirs[None]           # (K, H, W, 3)
+    if config.analytic_normals:
+        intensity, grad = sample_with_gradient_analytic(
+            volume, pos, config.normal_delta)
+    else:
+        intensity, grad = sample_with_gradient(volume, pos,
+                                               config.normal_delta)
+    sample_rgba = apply_tf(tf, intensity)                        # (K, H, W, 4)
+    shaded = shade(pos, grad, sample_rgba, rays.dirs[None], rays.origin,
+                   sampling_rate, config, clamp_light=clamp_light)
+    in_range = ((steps3 < rays.n_samples[None])
+                & (steps3 < config.max_samples))
+    return shaded, sample_rgba[..., 3], in_range, pos
+
+
+def _exclusive_cumprod(x, axis=0):
+    """[1, x0, x0*x1, ...] along ``axis``."""
+    p = jnp.cumprod(x, axis=axis)
+    one = jnp.ones_like(jax.lax.slice_in_dim(p, 0, 1, axis=axis))
+    return jnp.concatenate(
+        [one, jax.lax.slice_in_dim(p, 0, x.shape[axis] - 1, axis=axis)],
+        axis=axis)
+
+
+def composite_block(acc, cnt, shaded, eligible, config: RenderConfig,
+                    ert: bool = True):
+    """Closed-form front-to-back composite of a block of K steps.
+
+    Exactly reproduces the reference's sequential tape recurrence
+    (`/root/reference/differender/volume_raycaster.py:300-306`) including
+    early-ray termination: with transmittance ``T = 1 - acc.a`` the
+    recurrence is a product/weighted-sum form,
+
+        ``T_s = T_{s-1} * (1 - a_s)``,  ``rgb += T_{s-1} * shaded_rgb_s``,
+
+    and the ERT gate ``acc_{s-1}.a < 0.99``  <=>  ``T_{s-1} > 0.01`` is
+    *prefix-closed* (T is non-increasing, ineligible steps contribute a=0),
+    so gates computed from the ungated cumulative transmittance equal the
+    sequential gates.  This removes the sequential dependency from all the
+    heavy work; only cumprod/cumsum over the K axis remain.
+
+    Args:
+        acc: (H, W, 4) carry composite.
+        cnt: (H, W) int32 carry count (or None).
+        shaded: (K, H, W, 4) premultiplied step colors.
+        eligible: (K, H, W) bool — in-range (and any extra gates such as the
+            nondiff alpha-skip or shard ownership), EXCLUDING the ERT gate.
+    Returns: (acc, cnt, gate) updated.
+    """
+    T_carry = 1.0 - acc[..., 3:4]                                # (H, W, 1)
+    a_in = jnp.where(eligible, shaded[..., 3], 0.0)              # (K, H, W)
+    if ert:
+        T_prev = _exclusive_cumprod(1.0 - a_in, axis=0)          # (K, H, W)
+        gate = eligible & (T_carry[..., 0][None] * T_prev
+                           > 1.0 - config.ert_threshold)
+        a_g = jnp.where(gate, shaded[..., 3], 0.0)
+        Tg_prev = _exclusive_cumprod(1.0 - a_g, axis=0)
+    else:
+        gate = eligible
+        a_g = a_in
+        Tg_prev = _exclusive_cumprod(1.0 - a_g, axis=0)
+
+    rgb_contrib = jnp.sum(
+        Tg_prev[..., None] * jnp.where(gate[..., None], shaded[..., :3], 0.0),
+        axis=0)                                                  # (H, W, 3)
+    new_rgb = acc[..., :3] + T_carry * rgb_contrib
+    T_new = T_carry[..., 0] * jnp.prod(1.0 - a_g, axis=0)        # (H, W)
+    acc = jnp.concatenate([new_rgb, (1.0 - T_new)[..., None]], axis=-1)
+    if cnt is not None:
+        cnt = cnt + jnp.sum(gate.astype(jnp.int32), axis=0)
+    return acc, cnt, gate
+
+
 def march_diff(
     volume: Array,
     tf: Array,
@@ -97,20 +187,15 @@ def march_diff(
 
     sr = jnp.asarray(sampling_rate, jnp.float32)
 
-    def step_fn(carry, s):
-        acc, cnt = carry
-        shaded, _ = _shaded_sample(volume, tf, rays, params, s, sr, config,
-                                   clamp_light=True)
-        active = (s < rays.n_samples) & (s < config.max_samples)
-        if ert:
-            active = active & (acc[..., 3] < config.ert_threshold)
-        acc = _composite(acc, shaded, active)
-        cnt = cnt + active.astype(jnp.int32)
-        return (acc, cnt), None
-
     def block_fn(carry, s0):
+        acc, cnt = carry
         steps = s0 + jnp.arange(block, dtype=jnp.int32)
-        return jax.lax.scan(step_fn, carry, steps, unroll=config.unroll)
+        shaded, _, in_range, _ = _eval_block(volume, tf, rays, params,
+                                             steps, sr, config,
+                                             clamp_light=True)
+        acc, cnt, _ = composite_block(acc, cnt, shaded, in_range, config,
+                                      ert=ert)
+        return (acc, cnt), None
 
     block_fn = jax.checkpoint(block_fn, prevent_cse=False)
 
@@ -149,16 +234,6 @@ def march_nondiff(
 
     sr = jnp.asarray(sampling_rate, jnp.float32)
 
-    def step_fn(acc, s):
-        shaded, tf_alpha = _shaded_sample(volume, tf, rays, params, s, sr,
-                                          config, clamp_light=False)
-        active = (
-            (acc[..., 3] < config.ert_threshold)
-            & (s < rays.n_samples)
-            & (tf_alpha > config.alpha_skip)
-        )
-        return _composite(acc, shaded, active), None
-
     def cond_fn(state):
         acc, b = state
         maybe_alive = (acc[..., 3] < config.ert_threshold) & (rays.n_samples > b * block)
@@ -167,7 +242,14 @@ def march_nondiff(
     def body_fn(state):
         acc, b = state
         steps = b * block + jnp.arange(block, dtype=jnp.int32)
-        acc, _ = jax.lax.scan(step_fn, acc, steps, unroll=config.unroll)
+        shaded, tf_alpha, _, _ = _eval_block(
+            volume, tf, rays, params, steps, sr, config, clamp_light=False)
+        # NOTE: the nondiff kernel has no max_samples cap (`:316`), so use
+        # the pure n_samples gate rather than _eval_block's in_range.
+        in_range = steps[:, None, None] < rays.n_samples[None]
+        eligible = in_range & (tf_alpha > config.alpha_skip)   # `:334`
+        acc, _, _ = composite_block(acc, None, shaded, eligible, config,
+                                    ert=True)
         return acc, b + 1
 
     acc0 = jnp.zeros((H, W, 4), jnp.float32)

@@ -43,7 +43,7 @@ def test_batched_forward(sphere_volume):
         single = rc.forward(jnp.asarray(vol_user), jnp.asarray(tf_torch),
                             jnp.asarray(lfs[k]))
         np.testing.assert_allclose(np.asarray(img[k]), np.asarray(single),
-                                   atol=1e-6)
+                                   atol=1e-5)
 
 
 def test_broadcast_rules(sphere_volume):
@@ -62,7 +62,7 @@ def test_broadcast_rules(sphere_volume):
         assert out.shape == (3, 4, 6, 6)
         for k in range(3):
             np.testing.assert_allclose(np.asarray(out[k]), np.asarray(base),
-                                       atol=1e-6)
+                                       atol=1e-5)
 
 
 def test_nondiff_default_sampling_rate(sphere_volume):

@@ -57,3 +57,9 @@ def test_adamw_onecycle_decreases_loss():
         updates, state = opt.update(g, state, params)
         params = optax.apply_updates(params, updates)
     assert float(loss(params)) < 0.1 * l0
+
+
+def test_adamw_onecycle_rejects_tiny_total_steps():
+    import pytest
+    with pytest.raises(ValueError):
+        adamw_onecycle(max_lr=1e-3, total_steps=3)
