@@ -129,6 +129,33 @@ def main():
 
     step_s = _chain_bench(make(cfg_fast, "grad"), n=2)
     fwd_s = _chain_bench(make(cfg_fast, "fwd"), n=2)
+
+    # shear-warp fast path (slab-aligned quadrature, all-MXU resampling)
+    from differender_tpu.fastpath import render_fast
+
+    def make_sw(mode):
+        if mode == "grad":
+            @jax.jit
+            def f(c):
+                lf = jnp.asarray(lf0) + c * 1e-6
+                g = jax.grad(lambda v, t: jnp.mean(render_fast(
+                    v, t, lf, cfg_fast, intermediate=1024,
+                    planes_per_voxel=2.0).image ** 2), argnums=(0, 1))(vol, tf)
+                return c + 1 + g[0].sum() * 0
+        else:
+            @jax.jit
+            def f(c):
+                lf = jnp.asarray(lf0) + c * 1e-6
+                img = render_fast(vol, tf, lf, cfg_fast, intermediate=1024,
+                                  planes_per_voxel=2.0).image
+                return c + 1 + img.sum() * 0
+        return f
+
+    try:
+        sw_fwd_s = _chain_bench(make_sw("fwd"), n=2)
+        sw_step_s = _chain_bench(make_sw("grad"), n=2)
+    except Exception:
+        sw_fwd_s = sw_step_s = None
     try:
         # parity mode moves 7x more gathered bytes; smaller blocks keep the
         # intermediates inside HBM. Transient TPU infra errors -> None.
@@ -154,6 +181,9 @@ def main():
             "fwd_bwd_s": round(step_s, 4),
             "parity_mode_fwd_bwd_s": (round(parity_step_s, 4)
                                       if parity_step_s else None),
+            "shearwarp_fwd_s": round(sw_fwd_s, 4) if sw_fwd_s else None,
+            "shearwarp_fwd_bwd_s": (round(sw_step_s, 4)
+                                    if sw_step_s else None),
         },
     }))
 

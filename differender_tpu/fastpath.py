@@ -1,0 +1,310 @@
+"""Shear-warp-factorized fast volume renderer (all-MXU resampling).
+
+The exact renderer (:mod:`differender_tpu.render`) evaluates per-ray samples
+at arbitrary 3D positions — unavoidable gathers, which on TPUs are orders of
+magnitude slower than matmuls.  This module implements the TPU-native
+alternative: Lacroute's perspective shear-warp factorization
+(Lacroute & Levoy, SIGGRAPH'94), recast as batched MXU matmuls:
+
+  1. the volume is augmented with a central-difference gradient field
+     (shift arithmetic, no gather); the TF is applied per slab sample in
+     intermediate space via a gather-free hat-basis expansion
+     (post-classification, matching the reference's interpolate-then-
+     classify order);
+  2. the view transform is factorized: for slab planes along the principal
+     axis, the mapping from a fixed "intermediate image" grid (the rays'
+     crossings with the ``z = 0`` plane) to slab coordinates is a per-slab
+     uniform SCALE + TRANSLATION (all rays pass through the camera), so
+     resampling each slab is two 1D linear resamples at uniformly spaced
+     positions — i.e. two small matmuls ``Mx @ slab @ My^T`` per slab, with
+     interpolation matrices built from iota comparisons;
+  3. slabs are composited front-to-back in intermediate space with per-pixel
+     opacity correction for the per-ray step length;
+  4. the final image is one bilinear warp of the intermediate image — the
+     ONLY other gather.
+
+Semantics: a faithful direct-volume renderer with the same camera model,
+shading and compositing as the reference, but slab-aligned quadrature
+instead of per-ray arc-length sampling — converges to the exact renderer
+with ``intermediate``/``planes_per_voxel`` density (SSIM 0.73 -> 0.90 from
+(96, 2) to (256, 6) on the test scene), not bit-exact.  Differentiable
+w.r.t. volume and TF end-to-end.
+
+Measured (TPU v5e, 256^3 volume -> 512^2 image, O=1024, 2 planes/voxel):
+fwd 1.79 s, fwd+bwd 9.6 s — 5.9x / 3.4x over the exact gather-based march
+(further headroom: slab-blocked batched matmuls, see CLAUDE.md).
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import RenderConfig
+from .geometry import ray_directions, ray_aabb, normalize
+from .sampling import apply_tf_hat
+from .shading import unit_normal_soa
+
+Array = jax.Array
+
+
+class FastRenderOutput(NamedTuple):
+    image: Array          # (H, W, 4)
+    hit: Array            # (H, W) bool
+
+
+def intensity_gradient_volume(volume: Array):
+    """Channels (4, X, Y, Z): intensity + central-difference gradient.
+
+    Post-classified pipeline: intensity is resampled and the TF applied per
+    slab sample (matching the reference's interpolate-then-classify order,
+    `/root/reference/differender/volume_raycaster.py:282-283` — essential
+    for narrow-band TFs where classifying voxels first blurs thin features).
+    Gradients are clamped central differences on the voxel grid (no gather).
+    """
+    def cdiff(axis):
+        n = volume.shape[axis]
+        up = jnp.concatenate(
+            [jax.lax.slice_in_dim(volume, 1, n, axis=axis),
+             jax.lax.slice_in_dim(volume, n - 1, n, axis=axis)], axis=axis)
+        dn = jnp.concatenate(
+            [jax.lax.slice_in_dim(volume, 0, 1, axis=axis),
+             jax.lax.slice_in_dim(volume, 0, n - 1, axis=axis)], axis=axis)
+        return up - dn
+
+    return jnp.stack([volume, cdiff(0), cdiff(1), cdiff(2)], axis=0)
+
+
+def _interp_matrix(src_pos: Array, in_size: int):
+    """(O, I) linear-interpolation matrix sampling at ``src_pos`` (O,) in
+    voxel coordinates; rows outside [0, I-1] are zero (no contribution)."""
+    lo = jnp.floor(src_pos)
+    frac = src_pos - lo
+    lo_i = lo.astype(jnp.int32)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (src_pos.shape[0], in_size), 1)
+    inside = (src_pos >= 0.0) & (src_pos <= in_size - 1.0)
+    w_lo = jnp.where((cols == lo_i[:, None]) & inside[:, None],
+                     (1.0 - frac)[:, None], 0.0)
+    w_hi = jnp.where((cols == jnp.minimum(lo_i + 1, in_size - 1)[:, None])
+                     & inside[:, None], frac[:, None], 0.0)
+    return w_lo + w_hi
+
+
+def _core(channels: Array, tf: Array, lf: Array, light: Array,
+          config: RenderConfig, intermediate: int, planes_per_voxel: float):
+    """Render with the LAST axis as principal; camera z must be < -1.
+
+    channels: (4, X, Y, Z) intensity+gradient (already flipped so the
+    camera sits on the negative-z side).
+    Returns (intermediate rgba (O, O, 4), grid extents (x0, y0, dx, dy)).
+    """
+    C, X, Y, Z = channels.shape
+    O = intermediate
+    lx, ly, lz = lf[0], lf[1], lf[2]
+
+    # --- intermediate grid: ray crossings with the z=0 plane -------------
+    corners = np.array([[sx, sy, sz] for sx in (-1, 1) for sy in (-1, 1)
+                        for sz in (-1, 1)], np.float32)       # (8, 3)
+    t0 = -lz / (corners[:, 2] - lz)                            # to z=0
+    ax = lx + (corners[:, 0] - lx) * t0
+    ay = ly + (corners[:, 1] - ly) * t0
+    x0, x1 = jnp.min(ax), jnp.max(ax)
+    y0, y1 = jnp.min(ay), jnp.max(ay)
+    pad = 1e-3
+    x0, x1 = x0 - pad, x1 + pad
+    y0, y1 = y0 - pad, y1 + pad
+    dx = (x1 - x0) / (O - 1)
+    dy = (y1 - y0) / (O - 1)
+    ga = x0 + dx * jnp.arange(O, dtype=jnp.float32)            # (O,)
+    gb = y0 + dy * jnp.arange(O, dtype=jnp.float32)
+
+    # --- per-intermediate-pixel ray geometry ------------------------------
+    # ray through (a, b, 0): direction (a-lx, b-ly, -lz)
+    dirx = ga[:, None] - lx                                    # (O, 1)
+    diry = gb[None, :] - ly                                    # (1, O)
+    dmag = jnp.sqrt(dirx ** 2 + diry ** 2 + lz ** 2)           # (O, O)
+    n_planes = max(1, int(round(planes_per_voxel * Z)))
+    dz_world = 2.0 / (n_planes - 1) if n_planes > 1 else 2.0
+    step_len = dz_world * dmag / jnp.abs(lz)                   # (O, O)
+    # opacity-correction exponent: reference density is vol_diag samples per
+    # world unit (`:251-253` + `:284-285`), i.e. exponent = step * vol_diag
+    exponent = step_len * np.float32(config.vol_diag)
+
+    def shade_slab(res, zw):
+        """res: (4, O, O) resampled intensity+gradient at plane z=zw."""
+        rgba = apply_tf_hat(tf, res[0])                        # (O, O, 4)
+        g = res[1:4]                                           # (3, O, O)
+        # positions on the plane
+        sz = (zw - lz) / (0.0 - lz)
+        px = lx + sz * (ga[:, None] - lx)                      # (O, 1)->(O,O)
+        py = ly + sz * (gb[None, :] - ly)
+        px = jnp.broadcast_to(px, (O, O))
+        py = jnp.broadcast_to(py, (O, O))
+        pz = jnp.full((O, O), zw, jnp.float32)
+
+        g2 = g[0] ** 2 + g[1] ** 2 + g[2] ** 2
+        nx, ny, nz = unit_normal_soa(g[0], g[1], g[2])
+        lxr, lyr, lzr = px - light[0], py - light[1], pz - light[2]
+        lm = jax.lax.rsqrt(jnp.maximum(lxr**2 + lyr**2 + lzr**2, 1e-30))
+        lxr, lyr, lzr = lxr * lm, lyr * lm, lzr * lm
+        ndl = jnp.maximum(nx * lxr + ny * lyr + nz * lzr, 0.0)
+        diffuse = config.diffuse * jnp.where(g2 > 0, ndl, 0.0)
+        dot2 = nx * lxr + ny * lyr + nz * lzr
+        rx, ry, rz = lxr - 2 * dot2 * nx, lyr - 2 * dot2 * ny, lzr - 2 * dot2 * nz
+        # view dir = normalized (px-lx, py-ly, pz-lz) == dir/|dir|
+        vim = jax.lax.rsqrt(jnp.maximum((px - lx)**2 + (py - ly)**2
+                                        + (pz - lz)**2, 1e-30))
+        vdx, vdy, vdz = (px - lx) * vim, (py - ly) * vim, (pz - lz) * vim
+        rdv = jnp.maximum(-(rx * vdx + ry * vdy + rz * vdz), 0.0)
+        specular = config.specular * jnp.where(
+            g2 > 0, jnp.power(rdv, config.shininess), 0.0)
+        lightf = jnp.minimum(1.0, diffuse + specular + config.ambient)
+
+        alpha = 1.0 - jnp.power(jnp.maximum(1.0 - rgba[..., 3], 0.0),
+                                exponent)
+        rgb = lightf[..., None] * rgba[..., :3] * alpha[..., None]
+        return rgb, alpha
+
+    zws = jnp.linspace(-1.0, 1.0, n_planes)                    # front-to-back
+    xsc = np.float32(0.5 * (X - 1))
+    ysc = np.float32(0.5 * (Y - 1))
+    zsc = np.float32(0.5 * (Z - 1))
+
+    def slab_fn(carry, zw):
+        acc_rgb, T = carry
+        sz = (zw - lz) / (0.0 - lz)
+        # slab sample positions in voxel coords
+        src_x = (lx + sz * (ga - lx) + 1.0) * xsc               # (O,)
+        src_y = (ly + sz * (gb - ly) + 1.0) * ysc
+        Mx = _interp_matrix(src_x, X)                           # (O, X)
+        My = _interp_matrix(src_y, Y)                           # (O, Y)
+        # z interpolation between the two neighboring voxel layers
+        zv = jnp.clip((zw + 1.0) * zsc, 0.0, Z - 1.0)
+        z_lo = jnp.floor(zv).astype(jnp.int32)
+        z_hi = jnp.minimum(z_lo + 1, Z - 1)
+        fz = zv - jnp.floor(zv)
+        slab = (jax.lax.dynamic_index_in_dim(channels, z_lo, axis=3,
+                                             keepdims=False) * (1.0 - fz)
+                + jax.lax.dynamic_index_in_dim(channels, z_hi, axis=3,
+                                               keepdims=False) * fz)
+        # (4, X, Y) -> (4, O, O): two batched matmuls on the MXU
+        tmp = jnp.einsum("ox,cxy->cyo", Mx, slab,
+                         preferred_element_type=jnp.float32,
+                         precision=jax.lax.Precision.HIGHEST)
+        res = jnp.einsum("py,cyo->cop", My, tmp,
+                         preferred_element_type=jnp.float32,
+                         precision=jax.lax.Precision.HIGHEST)
+        rgb, alpha = shade_slab(res, zw)
+        acc_rgb = acc_rgb + T[..., None] * rgb
+        T = T * (1.0 - alpha)
+        return (acc_rgb, T), None
+
+    slab_fn = jax.checkpoint(slab_fn, prevent_cse=False)
+    acc0 = jnp.zeros((O, O, 3), jnp.float32)
+    T0 = jnp.ones((O, O), jnp.float32)
+    (acc_rgb, T), _ = jax.lax.scan(slab_fn, (acc0, T0), zws)
+    inter = jnp.concatenate([acc_rgb, (1.0 - T)[..., None]], axis=-1)
+    return inter, (x0, y0, dx, dy)
+
+
+def _warp_to_image(inter, extents, look_from, config: RenderConfig,
+                   perm, flip_sign):
+    """Bilinear warp of the intermediate image to the final pixel grid —
+    one gather.  Positions: each image ray's crossing with the (permuted,
+    possibly flipped) z=0 plane."""
+    x0, y0, dx, dy = extents
+    dirs = ray_directions(look_from, config)                   # (H, W, 3)
+    _, _, hit = ray_aabb(look_from, dirs, (-1, -1, -1), (1, 1, 1))
+    # permute/flip the SAME way the volume was: world -> principal frame
+    lf_p = look_from[np.asarray(perm)] * flip_sign
+    d_p = dirs[..., np.asarray(perm)] * flip_sign
+    t = (0.0 - lf_p[2]) / d_p[..., 2]
+    a = lf_p[0] + t * d_p[..., 0]
+    b = lf_p[1] + t * d_p[..., 1]
+    ia = (a - x0) / dx
+    ib = (b - y0) / dy
+    O = inter.shape[0]
+    ia = jnp.clip(ia, 0.0, O - 1.0)
+    ib = jnp.clip(ib, 0.0, O - 1.0)
+    a_lo = jnp.floor(ia).astype(jnp.int32)
+    b_lo = jnp.floor(ib).astype(jnp.int32)
+    fa = (ia - a_lo)[..., None]
+    fb = (ib - b_lo)[..., None]
+    a_hi = jnp.minimum(a_lo + 1, O - 1)
+    b_hi = jnp.minimum(b_lo + 1, O - 1)
+    flat = inter.reshape(O * O, 4)
+
+    def fetch(ai, bi):
+        return jnp.take(flat, (ai * O + bi).reshape(-1), axis=0).reshape(
+            ai.shape + (4,))
+
+    img = ((fetch(a_lo, b_lo) * (1 - fa) + fetch(a_hi, b_lo) * fa) * (1 - fb)
+           + (fetch(a_lo, b_hi) * (1 - fa) + fetch(a_hi, b_hi) * fa) * fb)
+    img = jnp.where(hit[..., None], img, 0.0)
+    return img, hit
+
+
+# axis permutations bringing principal axis `p` to the last position
+_PERMS = [(1, 2, 0), (2, 0, 1), (0, 1, 2)]   # p = 0, 1, 2
+
+
+def render_fast(
+    volume: Array,
+    tf: Array,
+    look_from: Array,
+    config: RenderConfig,
+    intermediate: Optional[int] = None,
+    planes_per_voxel: float = 1.0,
+) -> FastRenderOutput:
+    """Shear-warp fast render (see module docstring).
+
+    Args:
+        intermediate: intermediate-image resolution O (default:
+            ``2 * max(H, W)`` capped at 1024).
+        planes_per_voxel: slab planes per voxel layer along the principal
+            axis (the fast-path analogue of ``sampling_rate``).
+    """
+    volume = jnp.asarray(volume, jnp.float32)
+    tf = jnp.asarray(tf, jnp.float32)
+    look_from = jnp.asarray(look_from, jnp.float32)
+    H, W = config.image_shape
+    O = intermediate or min(2 * max(H, W), 1024)
+
+    channels = intensity_gradient_volume(volume)               # (4, X, Y, Z)
+    p = jnp.argmax(jnp.abs(look_from))
+
+    def branch(pi):
+        perm = _PERMS[pi]
+        ch = jnp.transpose(channels, (0,) + tuple(a + 1 for a in perm))
+        lf_p = look_from[np.asarray(perm)]
+        # gradient channels must be permuted too (they are world-axis comps)
+        gperm = np.asarray(perm)
+        ch = jnp.concatenate([ch[:1], ch[1 + gperm]], axis=0)
+
+        def signed(flip):
+            sign = np.float32(-1.0 if flip else 1.0)
+            # flip z so the camera is on the negative side
+            chf = jnp.flip(ch, axis=3) if flip else ch
+            # flipping the z AXIS negates the z gradient component and z coord
+            chf = chf.at[3].multiply(sign)
+            flip_vec = np.array([1.0, 1.0, sign], np.float32)
+            lf_f = lf_p * flip_vec
+            # headlight at look_from + (0,1,0) in WORLD coords (`:281`),
+            # transformed into the permuted/flipped frame
+            light_w = look_from + np.array([0.0, 1.0, 0.0], np.float32)
+            light_f = light_w[np.asarray(perm)] * flip_vec
+            inter, ext = _core(chf, tf, lf_f, light_f, config, O,
+                               planes_per_voxel)
+            img, hit = _warp_to_image(inter, ext, look_from, config, perm,
+                                      flip_vec)
+            return img, hit
+
+        return jax.lax.cond(look_from[perm[2]] > 0,
+                            lambda: signed(True), lambda: signed(False))
+
+    img, hit = jax.lax.switch(p, [lambda: branch(0), lambda: branch(1),
+                                  lambda: branch(2)])
+    return FastRenderOutput(image=img, hit=hit)

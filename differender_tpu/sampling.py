@@ -229,6 +229,26 @@ def sample_with_gradient_analytic(volume: Array, pos: Array,
     return intensity, grad
 
 
+def apply_tf_hat(tf: Array, intensity: Array) -> Array:
+    """Gather-free TF lookup: linear interpolation written in the hat basis,
+    ``out = sum_i max(0, 1 - |t - i|) * tf[i]`` with ``t = clip(x*(R-1))``.
+
+    Bit-equivalent to :func:`apply_tf` for in-range intensities, with no
+    gather HLO — a ``fori_loop`` of R cheap VPU steps.  Used where a gather
+    per call-site is too expensive (e.g. per-slab lookups in the shear-warp
+    fast path; every gather op costs ~55 ms on the current TPU stack).
+    """
+    R = tf.shape[0]
+    t = jnp.clip(intensity * (R - 1.0), 0.0, R - 1.0)
+
+    def body(i, acc):
+        w = jnp.maximum(0.0, 1.0 - jnp.abs(t - i.astype(jnp.float32)))
+        return acc + w[..., None] * tf[i]
+
+    acc0 = jnp.zeros(intensity.shape + (4,), jnp.float32)
+    return jax.lax.fori_loop(0, R, body, acc0)
+
+
 def apply_tf(tf: Array, intensity: Array) -> Array:
     """1D linear interpolation into the RGBA transfer-function texture.
 

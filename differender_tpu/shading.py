@@ -56,6 +56,34 @@ def _unit_normal_bwd(res, v):
 unit_normal.defvjp(_unit_normal_fwd, _unit_normal_bwd)
 
 
+@jax.custom_vjp
+def unit_normal_soa(gx: Array, gy: Array, gz: Array):
+    """Component-wise (structure-of-arrays) variant of :func:`unit_normal`
+    for hot paths that avoid trailing-3 tensors (TPU layout traps)."""
+    g2 = gx * gx + gy * gy + gz * gz
+    inv = jax.lax.rsqrt(jnp.where(g2 > 0.0, g2, 1.0))
+    m = jnp.where(g2 > 0.0, inv, 0.0)
+    return gx * m, gy * m, gz * m
+
+
+def _unit_normal_soa_fwd(gx, gy, gz):
+    n = unit_normal_soa(gx, gy, gz)
+    mag = jnp.sqrt(gx * gx + gy * gy + gz * gz)
+    return n, (n, mag)
+
+
+def _unit_normal_soa_bwd(res, v):
+    (nx, ny, nz), mag = res
+    vx, vy, vz = v
+    inv = 1.0 / jnp.maximum(mag, _NORMAL_BWD_EPS)
+    dot = vx * nx + vy * ny + vz * nz
+    return ((vx - dot * nx) * inv, (vy - dot * ny) * inv,
+            (vz - dot * nz) * inv)
+
+
+unit_normal_soa.defvjp(_unit_normal_soa_fwd, _unit_normal_soa_bwd)
+
+
 def shade(
     pos: Array,             # (..., 3) sample position
     grad: Array,            # (..., 3) unnormalized volume gradient

@@ -1,0 +1,81 @@
+"""Shear-warp fast renderer: visual equivalence with the exact renderer."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from differender_tpu import RenderConfig, render, get_tf
+from differender_tpu.fastpath import render_fast
+from differender_tpu.losses import ssim
+
+
+def _setup(sphere_volume, hw=(32, 32)):
+    cfg = RenderConfig(volume_shape=sphere_volume.shape, image_shape=hw,
+                       tf_resolution=32, max_samples=256, block_size=32)
+    tf = jnp.asarray(get_tf("tf5", 32))
+    return cfg, tf
+
+
+@pytest.mark.parametrize("lf", [
+    [1.3, 0.7, 2.1],      # principal z
+    [2.3, 0.5, -0.8],     # principal x
+    [0.4, 2.4, 0.7],      # principal y
+    [-1.2, 0.6, -2.0],    # negative z side
+])
+def test_fast_close_to_exact(sphere_volume, lf):
+    cfg, tf = _setup(sphere_volume)
+    lf = jnp.asarray(np.array(lf, np.float32))
+    exact = render(sphere_volume, tf, lf, cfg, sampling_rate=2.0,
+                   ert=False).image
+    fast = render_fast(sphere_volume, tf, lf, cfg, intermediate=192,
+                       planes_per_voxel=4.0).image
+    # different quadrature => tolerance-based visual equivalence; fidelity
+    # converges with intermediate/planes density (0.73 -> 0.90 SSIM from
+    # (96, 2.0) to (256, 6.0) on this scene)
+    a = jnp.transpose(exact, (2, 0, 1))
+    b = jnp.transpose(fast, (2, 0, 1))
+    s = float(ssim(a, b, nonnegative_ssim=True))
+    mad = float(jnp.abs(exact - fast).mean())
+    assert s > 0.8, (s, mad)
+    assert mad < 0.02, (s, mad)
+
+
+def test_fast_empty_volume_is_black(sphere_volume):
+    cfg, tf = _setup(sphere_volume)
+    out = render_fast(jnp.zeros(sphere_volume.shape), get_tf("black", 32) * 0,
+                      jnp.asarray([1.3, 0.7, 2.1]), cfg, intermediate=64)
+    assert float(jnp.abs(out.image).max()) == 0.0
+
+
+def test_fast_alpha_range(sphere_volume):
+    cfg, tf = _setup(sphere_volume)
+    out = render_fast(sphere_volume, tf, jnp.asarray([1.3, 0.7, 2.1]), cfg,
+                      intermediate=64)
+    a = np.asarray(out.image[..., 3])
+    assert (a >= 0).all() and (a <= 1.0 + 1e-5).all()
+    assert a.max() > 0.1
+
+
+def test_fast_differentiable(sphere_volume):
+    cfg, tf = _setup(sphere_volume, hw=(16, 16))
+    lf = jnp.asarray([1.3, 0.7, 2.1])
+
+    def loss(v, t):
+        return jnp.sum(render_fast(v, t, lf, cfg, intermediate=48).image)
+
+    gv, gt = jax.grad(loss, argnums=(0, 1))(jnp.asarray(sphere_volume), tf)
+    assert np.isfinite(np.asarray(gv)).all()
+    assert np.isfinite(np.asarray(gt)).all()
+    assert float(jnp.abs(gv).max()) > 0
+    assert float(jnp.abs(gt).max()) > 0
+
+
+def test_fast_misses_are_zero(sphere_volume):
+    cfg, tf = _setup(sphere_volume)
+    cfg = cfg.replace(fov=60.0)
+    out = render_fast(sphere_volume, tf, jnp.asarray([0.0, 0.3, 1.8]), cfg,
+                      intermediate=64)
+    img = np.asarray(out.image)
+    hit = np.asarray(out.hit)
+    assert (~hit).any()
+    assert np.all(img[~hit] == 0.0)
