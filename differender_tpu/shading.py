@@ -23,6 +23,15 @@ def opacity_correction(alpha: Array, sampling_rate: Array | float) -> Array:
     return 1.0 - jnp.power(jnp.maximum(1.0 - alpha, 0.0), 1.0 / sampling_rate)
 
 
+def premultiply_alpha(rgba: Array) -> Array:
+    """``rgba.rgb *= rgba.a`` — API parity with the reference helper
+    (`/root/reference/differender/volume_raycaster.py:23-26`; dead code
+    there, provided here for completeness).  The renderer's composited
+    output is already premultiplied."""
+    return jnp.concatenate([rgba[..., :3] * rgba[..., 3:4], rgba[..., 3:4]],
+                           axis=-1)
+
+
 # -- gradient-safe unit normals ---------------------------------------------
 #
 # d(g/|g|)/dg = (I - n n^T)/|g| diverges as |g| -> 0.  The reference's Taichi

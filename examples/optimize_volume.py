@@ -30,6 +30,8 @@ def main():
     ap.add_argument("--log-figures-every", type=int, default=0,
                     help="save comparison figures every N steps (0 = off)")
     ap.add_argument("--checkpoint-every", type=int, default=50)
+    ap.add_argument("--resume", type=str, default=None,
+                    help="checkpoint file to resume from")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -42,7 +44,7 @@ def main():
     from differender_tpu import (RenderConfig, render, render_nondiff,
                                  get_tf, in_circles, get_rand_pos,
                                  dssim_mse_loss, adamw_onecycle, project_unit)
-    from differender_tpu.io import save_checkpoint
+    from differender_tpu.io import save_checkpoint, load_checkpoint
     from differender_tpu.plotting import plot_comp_render_tf, save_histogram
 
     os.makedirs(args.results, exist_ok=True)
@@ -68,6 +70,14 @@ def main():
 
     opt = adamw_onecycle(max_lr=args.max_lr, total_steps=args.iterations)
     opt_state = opt.init(vol_j)
+    start_step = 0
+    key = jax.random.PRNGKey(0)
+    if args.resume:
+        state, start_step = load_checkpoint(args.resume)
+        vol_j = jnp.asarray(state["volume"])
+        opt_state = jax.tree.map(jnp.asarray, state["opt_state"])
+        key = jnp.asarray(state["key"])
+        print(f"resumed from {args.resume} at step {start_step}")
 
     def loss_fn(v, lfs, keys):
         def one(lf, key):
@@ -85,31 +95,47 @@ def main():
         v = project_unit(optax.apply_updates(v, updates))
         return v, opt_state, loss, jnp.abs(grads).max()
 
-    key = jax.random.PRNGKey(0)
-    for i in range(args.iterations):
-        key, k1, k2 = jax.random.split(key, 3)
-        lfs = jnp.concatenate([in_circles(0.1 * i)[None],
-                               get_rand_pos(k1, args.bs - 1)], axis=0)
-        vol_j, opt_state, loss, gmax = step(
-            vol_j, opt_state, lfs, jax.random.split(k2, args.bs))
-        log = (f"Step {i:03d}:   Loss: {float(loss):0.3f}   "
-               f"Vol Grad AbsMax: {float(gmax):.1e}   "
-               f"Vol err: {float(jnp.abs(vol_j - vol_gt_j).mean()):.5f}")
-        print(log)
-        if args.log_figures_every and i % args.log_figures_every == 0:
-            img = render(vol_j, tf, lfs[0], cfg, args.sampling_rate).image
-            gt = render_nondiff(vol_gt_j, tf, lfs[0], cfg,
-                                args.gt_sampling_rate).image
-            plot_comp_render_tf(
-                [(np.asarray(img), np.asarray(tf), "Prediction"),
-                 (np.asarray(gt), np.asarray(tf), "Target")],
-                path=f"{args.results}/comparison_plot_{i:03d}.png",
-                suptitle=log)
-            save_histogram(np.asarray(vol_j), f"{args.results}/hist_{i:03d}.png")
-        if args.checkpoint_every and (i + 1) % args.checkpoint_every == 0:
-            save_checkpoint(f"{args.results}/ckpt.pkl",
-                            {"volume": vol_j, "opt_state": opt_state,
-                             "key": key}, step=i + 1)
+    def checkpoint(i):
+        save_checkpoint(f"{args.results}/ckpt.pkl",
+                        {"volume": vol_j, "opt_state": opt_state,
+                         "key": key}, step=i)
+
+    try:
+        for i in range(start_step, args.iterations):
+            key, k1, k2 = jax.random.split(key, 3)
+            lfs = jnp.concatenate([in_circles(0.1 * i)[None],
+                                   get_rand_pos(k1, args.bs - 1)], axis=0)
+            vol_j, opt_state, loss, gmax = step(
+                vol_j, opt_state, lfs, jax.random.split(k2, args.bs))
+            log = (f"Step {i:03d}:   Loss: {float(loss):0.3f}   "
+                   f"Vol Grad AbsMax: {float(gmax):.1e}   "
+                   f"Vol err: {float(jnp.abs(vol_j - vol_gt_j).mean()):.5f}")
+            print(log)
+            _maybe_log_figures(args, i, vol_j, vol_gt_j, tf, cfg, lfs, log)
+            if args.checkpoint_every and (i + 1) % args.checkpoint_every == 0:
+                checkpoint(i + 1)
+    except KeyboardInterrupt:
+        # reference behavior: Ctrl+C still saves state/logs
+        # (`/root/reference/examples/test_opt_tf.py:90-91`)
+        print(f"Ctrl+C stopped at step {i}. Saving checkpoint now.")
+        checkpoint(i)
+
+
+def _maybe_log_figures(args, i, vol_j, vol_gt_j, tf, cfg, lfs, log):
+    import numpy as np
+    from differender_tpu import render, render_nondiff
+    from differender_tpu.plotting import plot_comp_render_tf, save_histogram
+    if not (args.log_figures_every and i % args.log_figures_every == 0):
+        return
+    img = render(vol_j, tf, lfs[0], cfg, args.sampling_rate).image
+    gt = render_nondiff(vol_gt_j, tf, lfs[0], cfg,
+                        args.gt_sampling_rate).image
+    plot_comp_render_tf(
+        [(np.asarray(img), np.asarray(tf), "Prediction"),
+         (np.asarray(gt), np.asarray(tf), "Target")],
+        path=f"{args.results}/comparison_plot_{i:03d}.png",
+        suptitle=log)
+    save_histogram(np.asarray(vol_j), f"{args.results}/hist_{i:03d}.png")
 
 
 if __name__ == "__main__":
