@@ -191,6 +191,26 @@ class Raycaster:
                 render_nondiff(vol, tf_i, lf, self.config, sr).image, (2, 0, 1))
         return jax.lax.stop_gradient(image)
 
+    def raycast_fast(self, volume, tf, look_from,
+                     intermediate: Optional[int] = None,
+                     planes_per_voxel: float = 2.0) -> Array:
+        """Shear-warp fast render (all-MXU resampling, slab quadrature);
+        returns ``([BS,] 4, H, W)``.  See
+        :mod:`differender_tpu.fastpath` for semantics vs the exact path."""
+        from .fastpath import render_fast
+        volume = jnp.asarray(volume, jnp.float32)
+        tf = jnp.asarray(tf, jnp.float32)
+        look_from = jnp.asarray(look_from, jnp.float32)
+        batched, bs, vol, tf_i, lf = self._determine_batch(volume, tf,
+                                                           look_from)
+        if batched:
+            fn = jax.vmap(lambda v, t, l: render_fast(
+                v, t, l, self.config, intermediate, planes_per_voxel).image)
+            return jnp.transpose(fn(vol, tf_i, lf), (0, 3, 1, 2))
+        img = render_fast(vol, tf_i, lf, self.config, intermediate,
+                          planes_per_voxel).image
+        return jnp.transpose(img, (2, 0, 1))
+
     def extra_repr(self) -> str:
         return (f"Volume ({self.volume_shape}), Output Render "
                 f"({self.output_shape}), TF ({self.tf_shape}), "

@@ -108,3 +108,19 @@ def test_grads_through_api(sphere_volume):
 def test_repr(sphere_volume):
     rc, *_ = _make(sphere_volume)
     assert "Max Samples" in repr(rc)
+
+
+def test_raycast_fast_api(sphere_volume):
+    rc, vol_user, tf_torch, _ = _make(sphere_volume, W=16, H=16)
+    lf = jnp.array([1.2, 0.8, 2.0])
+    img = rc.raycast_fast(jnp.asarray(vol_user), jnp.asarray(tf_torch), lf,
+                          intermediate=48)
+    assert img.shape == (4, 16, 16)
+    assert float(img[3].max()) > 0.05
+    lfs = jnp.asarray(np.array([[1.2, 0.8, 2.0], [-1.0, 0.4, 2.1]],
+                               np.float32))
+    imgb = rc.raycast_fast(jnp.asarray(vol_user), jnp.asarray(tf_torch), lfs,
+                           intermediate=48)
+    assert imgb.shape == (2, 4, 16, 16)
+    np.testing.assert_allclose(np.asarray(imgb[0]), np.asarray(img),
+                               atol=1e-5)
