@@ -36,7 +36,6 @@ fwd 1.79 s, fwd+bwd 9.6 s — 5.9x / 3.4x over the exact gather-based march
 """
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple, Optional
 
 import jax
@@ -44,7 +43,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .config import RenderConfig
-from .geometry import ray_directions, ray_aabb, normalize
+from .geometry import ray_directions, ray_aabb
 from .sampling import apply_tf_hat
 from .shading import unit_normal_soa
 
@@ -94,7 +93,8 @@ def _interp_matrix(src_pos: Array, in_size: int):
 
 
 def _core(channels: Array, tf: Array, lf: Array, light: Array,
-          config: RenderConfig, intermediate: int, planes_per_voxel: float):
+          config: RenderConfig, intermediate: int, planes_per_voxel: float,
+          precision=jax.lax.Precision.HIGHEST):
     """Render with the LAST axis as principal; camera z must be < -1.
 
     channels: (4, X, Y, Z) intensity+gradient (already flipped so the
@@ -193,10 +193,10 @@ def _core(channels: Array, tf: Array, lf: Array, light: Array,
         # (4, X, Y) -> (4, O, O): two batched matmuls on the MXU
         tmp = jnp.einsum("ox,cxy->cyo", Mx, slab,
                          preferred_element_type=jnp.float32,
-                         precision=jax.lax.Precision.HIGHEST)
+                         precision=precision)
         res = jnp.einsum("py,cyo->cop", My, tmp,
                          preferred_element_type=jnp.float32,
-                         precision=jax.lax.Precision.HIGHEST)
+                         precision=precision)
         rgb, alpha = shade_slab(res, zw)
         acc_rgb = acc_rgb + T[..., None] * rgb
         T = T * (1.0 - alpha)
@@ -258,6 +258,7 @@ def render_fast(
     config: RenderConfig,
     intermediate: Optional[int] = None,
     planes_per_voxel: float = 1.0,
+    precision=jax.lax.Precision.HIGHEST,
 ) -> FastRenderOutput:
     """Shear-warp fast render (see module docstring).
 
@@ -266,6 +267,10 @@ def render_fast(
             ``2 * max(H, W)`` capped at 1024).
         planes_per_voxel: slab planes per voxel layer along the principal
             axis (the fast-path analogue of ``sampling_rate``).
+        precision: MXU precision for the resampling matmuls.  HIGHEST is
+            f32-faithful; ``jax.lax.Precision.DEFAULT`` runs the bf16 MXU
+            fast path (interpolation weights/values rounded to bf16 — a
+            visual-quality/speed knob).
     """
     volume = jnp.asarray(volume, jnp.float32)
     tf = jnp.asarray(tf, jnp.float32)
@@ -297,7 +302,7 @@ def render_fast(
             light_w = look_from + np.array([0.0, 1.0, 0.0], np.float32)
             light_f = light_w[np.asarray(perm)] * flip_vec
             inter, ext = _core(chf, tf, lf_f, light_f, config, O,
-                               planes_per_voxel)
+                               planes_per_voxel, precision)
             img, hit = _warp_to_image(inter, ext, look_from, config, perm,
                                       flip_vec)
             return img, hit

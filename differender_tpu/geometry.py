@@ -84,7 +84,15 @@ def ray_directions(look_from: Array, config: RenderConfig) -> Array:
     v = y - 0.5                                               # (H,)
 
     world_up = np.array([0.0, 1.0, 0.0], np.float32)
-    right = normalize(jnp.cross(view_dir, world_up))
+    right_raw = jnp.cross(view_dir, world_up)
+    # Pole guard: for a camera on the +-y axis the reference's basis is
+    # undefined (cross product vanishes -> NaN rays, reference UB).  Fall
+    # back to x as the up hint there; random poses (get_rand_pos) can land
+    # arbitrarily close to the poles.
+    degenerate = jnp.sum(right_raw * right_raw) < 1e-12
+    alt_up = np.array([1.0, 0.0, 0.0], np.float32)
+    right_raw = jnp.where(degenerate, jnp.cross(view_dir, alt_up), right_raw)
+    right = normalize(right_raw)
     up = normalize(jnp.cross(right, view_dir))
 
     near_h = 2.0 * jnp.tan(jnp.float32(config.fov_rad)) * config.near

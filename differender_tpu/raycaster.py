@@ -19,7 +19,6 @@ arg) that is split on each call — convenient for scripts, but for use under
 """
 from __future__ import annotations
 
-import functools
 from typing import Optional, Tuple
 
 import jax

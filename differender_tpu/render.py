@@ -50,25 +50,6 @@ class RenderOutput(NamedTuple):
         return jnp.max(self.valid_steps - 1)
 
 
-def _shaded_sample(volume, tf, rays: RayBundle, params: MarchParams, s,
-                   sampling_rate, config: RenderConfig, clamp_light: bool):
-    """Compute the shaded premultiplied RGBA of march step ``s`` for every
-    pixel.  Returns (shaded (H,W,4), tf_alpha (H,W))."""
-    t = params.t0 + s.astype(jnp.float32) * params.dt            # (H, W)
-    pos = rays.origin + t[..., None] * rays.dirs                 # (H, W, 3)
-    intensity, grad = sample_with_gradient(volume, pos, config.normal_delta)
-    sample_rgba = apply_tf(tf, intensity)                        # (H, W, 4)
-    shaded = shade(pos, grad, sample_rgba, rays.dirs, rays.origin,
-                   sampling_rate, config, clamp_light=clamp_light)
-    return shaded, sample_rgba[..., 3]
-
-
-def _composite(acc, shaded, active):
-    """Front-to-back over: ``tape[s] = (1 - tape[s-1].a)*shaded + tape[s-1]``
-    (`/root/reference/differender/volume_raycaster.py:300-302`), masked."""
-    return acc + active[..., None] * (1.0 - acc[..., 3:4]) * shaded
-
-
 def _eval_block(volume, tf, rays: RayBundle, params: MarchParams, steps,
                 sampling_rate, config: RenderConfig, clamp_light: bool):
     """Evaluate K march steps AT ONCE (batched over a leading step axis).

@@ -100,3 +100,13 @@ def test_march_params_half_step_offset():
     last = np.asarray(p.t0 + (rays.n_samples - 1) * p.dt)
     multi = n > 1
     np.testing.assert_allclose(last[multi], exit_[multi], rtol=1e-5)
+
+
+def test_pole_camera_rays_finite():
+    """Camera exactly on the +-y axis: the reference's basis is undefined
+    (NaN rays); we fall back to an alternate up hint."""
+    for lf in ([0.0, 2.5, 0.0], [0.0, -2.5, 0.0]):
+        d = ray_directions(jnp.asarray(np.array(lf, np.float32)), CFG)
+        assert np.isfinite(np.asarray(d)).all()
+        rays = make_rays(jnp.asarray(np.array(lf, np.float32)), CFG, 1.0)
+        assert int(rays.n_samples[4, 4]) > 0   # center ray hits the box
