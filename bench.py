@@ -139,14 +139,14 @@ def main():
             def f(c):
                 lf = jnp.asarray(lf0) + c * 1e-6
                 g = jax.grad(lambda v, t: jnp.mean(render_fast(
-                    v, t, lf, cfg_fast, intermediate=1024,
+                    v, t, lf, cfg_fast, intermediate=768,
                     planes_per_voxel=2.0).image ** 2), argnums=(0, 1))(vol, tf)
                 return c + 1 + g[0].sum() * 0
         else:
             @jax.jit
             def f(c):
                 lf = jnp.asarray(lf0) + c * 1e-6
-                img = render_fast(vol, tf, lf, cfg_fast, intermediate=1024,
+                img = render_fast(vol, tf, lf, cfg_fast, intermediate=768,
                                   planes_per_voxel=2.0).image
                 return c + 1 + img.sum() * 0
         return f

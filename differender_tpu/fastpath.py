@@ -30,9 +30,11 @@ with ``intermediate``/``planes_per_voxel`` density (SSIM 0.73 -> 0.90 from
 (96, 2) to (256, 6) on the test scene), not bit-exact.  Differentiable
 w.r.t. volume and TF end-to-end.
 
-Measured (TPU v5e, 256^3 volume -> 512^2 image, O=1024, 2 planes/voxel):
-fwd 1.79 s, fwd+bwd 9.6 s — 5.9x / 3.4x over the exact gather-based march
-(further headroom: slab-blocked batched matmuls, see CLAUDE.md).
+Measured (TPU v5e, 256^3 volume -> 512^2 image, 2 planes/voxel):
+fwd 0.43 s / fwd+bwd 2.5 s at O=768; fwd 0.83 s / fwd+bwd 4.5 s at O=1024 —
+12-24x / 7-13x over the exact gather-based march.  512^3 -> 1024^2 renders
+in ~2 s (where the exact path faults).  Cost scales with O^2 per slab
+(TF hat evaluation dominates); see CLAUDE.md for the round-2 plan.
 """
 from __future__ import annotations
 
@@ -264,7 +266,8 @@ def render_fast(
 
     Args:
         intermediate: intermediate-image resolution O (default:
-            ``2 * max(H, W)`` capped at 1024).
+            ``1.5 * max(H, W)`` capped at 1024 — the per-slab cost scales
+            with O^2).
         planes_per_voxel: slab planes per voxel layer along the principal
             axis (the fast-path analogue of ``sampling_rate``).
         precision: MXU precision for the resampling matmuls.  HIGHEST is
@@ -276,7 +279,7 @@ def render_fast(
     tf = jnp.asarray(tf, jnp.float32)
     look_from = jnp.asarray(look_from, jnp.float32)
     H, W = config.image_shape
-    O = intermediate or min(2 * max(H, W), 1024)
+    O = intermediate or min(int(1.5 * max(H, W)), 1024)
 
     channels = intensity_gradient_volume(volume)               # (4, X, Y, Z)
     p = jnp.argmax(jnp.abs(look_from))

@@ -241,6 +241,17 @@ def apply_tf_hat(tf: Array, intensity: Array) -> Array:
     R = tf.shape[0]
     t = jnp.clip(intensity * (R - 1.0), 0.0, R - 1.0)
 
+    if R <= 256:
+        # Unrolled: one fused expression — a fori_loop would round-trip the
+        # (..., 4) accumulator through HBM R times (dominant cost when
+        # called per slab in the shear-warp path).
+        acc = None
+        for i in range(R):
+            w = jnp.maximum(0.0, 1.0 - jnp.abs(t - float(i)))[..., None]
+            term = w * tf[i]
+            acc = term if acc is None else acc + term
+        return acc
+
     def body(i, acc):
         w = jnp.maximum(0.0, 1.0 - jnp.abs(t - i.astype(jnp.float32)))
         return acc + w[..., None] * tf[i]
