@@ -64,7 +64,11 @@ def intensity_gradient_volume(volume: Array):
     slab sample (matching the reference's interpolate-then-classify order,
     `/root/reference/differender/volume_raycaster.py:282-283` — essential
     for narrow-band TFs where classifying voxels first blurs thin features).
-    Gradients are clamped central differences on the voxel grid (no gather).
+    Gradients are clamped central differences on the voxel grid (no gather),
+    scaled per axis by ``shape[ax] - 1`` so they are world-coordinate
+    derivatives (common factors cancel under normalization, but the
+    *relative* per-axis factors matter for anisotropic volumes — this
+    matches the exact path, which differences in world space).
     """
     def cdiff(axis):
         n = volume.shape[axis]
@@ -74,7 +78,7 @@ def intensity_gradient_volume(volume: Array):
         dn = jnp.concatenate(
             [jax.lax.slice_in_dim(volume, 0, 1, axis=axis),
              jax.lax.slice_in_dim(volume, 0, n - 1, axis=axis)], axis=axis)
-        return up - dn
+        return (up - dn) * np.float32(volume.shape[axis] - 1)
 
     return jnp.stack([volume, cdiff(0), cdiff(1), cdiff(2)], axis=0)
 
@@ -135,8 +139,13 @@ def _core(channels: Array, tf: Array, lf: Array, light: Array,
     # world unit (`:251-253` + `:284-285`), i.e. exponent = step * vol_diag
     exponent = step_len * np.float32(config.vol_diag)
 
-    def shade_slab(res, zw):
-        """res: (4, O, O) resampled intensity+gradient at plane z=zw."""
+    def shade_slab(res, zw, coverage):
+        """res: (4, O, O) resampled intensity+gradient at plane z=zw.
+        coverage: (O, O) 1 inside the volume footprint, 0 outside — samples
+        off the footprint have zeroed interp-matrix rows (intensity 0) and
+        must not composite; TFs with alpha at intensity 0 ('black'/'gray')
+        would otherwise lay phantom fog along empty space, which the exact
+        path (sampling only within [entry, exit]) never does."""
         rgba = apply_tf_hat(tf, res[0])                        # (O, O, 4)
         g = res[1:4]                                           # (3, O, O)
         # positions on the plane
@@ -165,8 +174,8 @@ def _core(channels: Array, tf: Array, lf: Array, light: Array,
             g2 > 0, jnp.power(rdv, config.shininess), 0.0)
         lightf = jnp.minimum(1.0, diffuse + specular + config.ambient)
 
-        alpha = 1.0 - jnp.power(jnp.maximum(1.0 - rgba[..., 3], 0.0),
-                                exponent)
+        alpha = (1.0 - jnp.power(jnp.maximum(1.0 - rgba[..., 3], 0.0),
+                                 exponent)) * coverage
         rgb = lightf[..., None] * rgba[..., :3] * alpha[..., None]
         return rgb, alpha
 
@@ -199,7 +208,10 @@ def _core(channels: Array, tf: Array, lf: Array, light: Array,
         res = jnp.einsum("py,cyo->cop", My, tmp,
                          preferred_element_type=jnp.float32,
                          precision=precision)
-        rgb, alpha = shade_slab(res, zw)
+        # In-footprint coverage: interp-matrix rows sum to 1 inside
+        # [0, size-1] and to 0 outside, and the resample is separable.
+        coverage = jnp.sum(Mx, axis=1)[:, None] * jnp.sum(My, axis=1)[None, :]
+        rgb, alpha = shade_slab(res, zw, coverage)
         acc_rgb = acc_rgb + T[..., None] * rgb
         T = T * (1.0 - alpha)
         return (acc_rgb, T), None

@@ -198,8 +198,9 @@ def march_params(rays: RayBundle) -> MarchParams:
     ray_len = rays.exit - rays.entry
     t0 = rays.entry + 0.5 * ray_len / safe_n
     dt = (rays.exit - t0) / jnp.maximum(n_f - 1.0, 1.0)
-    # Rays that miss march zero steps; zero params keep positions finite.
-    missed = rays.n_samples == 0
-    t0 = jnp.where(missed, 0.0, t0)
-    dt = jnp.where(missed, 0.0, dt)
+    # Rays that miss march zero steps; n == 1 rays sample only at t0
+    # (dt = 0 per the class docstring — the reference divides 0/0 there).
+    # Zero params keep positions finite in masked-out lanes.
+    t0 = jnp.where(rays.n_samples == 0, 0.0, t0)
+    dt = jnp.where(rays.n_samples <= 1, 0.0, dt)
     return MarchParams(t0=t0, dt=dt)

@@ -98,8 +98,23 @@ def _segment_window(rays: RayBundle, params, k, x_lo_vox, x_hi_vox,
     return s_lo.astype(jnp.int32)
 
 
+def _over(a: Array, b: Array) -> Array:
+    """The front-to-back "over" operator on premultiplied RGBA:
+    ``a (+) b = a + (1 - a.alpha) * b``.  Associative (transmittances
+    multiply, colors accumulate transmittance-weighted), which is what makes
+    per-shard segment compositing exact and log-depth reducible."""
+    return a + (1.0 - a[..., 3:4]) * b
+
+
 def compose_segments(segments: Array, counts: Array, dir_x: Array):
     """Fold per-shard partial composites in per-pixel camera order.
+
+    Scalable form: the over-operator is associative, so the K-segment fold
+    is a ``lax.associative_scan`` (log K depth, no per-shard host-unrolled
+    gathers — the previous form did a full (H, W, 4) ``take_along_axis``
+    per shard, wrong shape for K >= 64 pod slices).  The per-pixel camera
+    order only flips the *direction* of the fold, so both orientations are
+    folded and selected per pixel.
 
     Args:
         segments: (K, H, W, 4) premultiplied RGBA segment composites.
@@ -108,14 +123,9 @@ def compose_segments(segments: Array, counts: Array, dir_x: Array):
             a ray parallel to the slabs lives in one shard only, so its
             order is irrelevant).
     """
-    K = segments.shape[0]
-    acc = jnp.zeros_like(segments[0])
-    for i in range(K):
-        idx = jnp.where(dir_x > 0, i, K - 1 - i)               # (H, W)
-        seg = jnp.take_along_axis(
-            segments, jnp.broadcast_to(idx[None, ..., None], (1,) + segments.shape[1:]),
-            axis=0)[0]
-        acc = acc + (1.0 - acc[..., 3:4]) * seg
+    fwd = jax.lax.associative_scan(_over, segments, axis=0)[-1]
+    bwd = jax.lax.associative_scan(_over, segments[::-1], axis=0)[-1]
+    acc = jnp.where((dir_x > 0)[..., None], fwd, bwd)
     total = 1 + jnp.sum(counts, axis=0)
     return acc, total
 

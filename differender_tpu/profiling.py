@@ -42,7 +42,8 @@ def annotate(name: str):
 
 @contextlib.contextmanager
 def timed(name: str, results: Optional[dict] = None) -> Iterator[None]:
-    """Wall-clock a block (after blocking on outstanding device work)."""
+    """Wall-clock a block.  NOTE: measures host wall time only — callers
+    must ``block_until_ready()`` inside the block to include device work."""
     t0 = time.perf_counter()
     try:
         yield

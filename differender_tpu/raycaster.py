@@ -144,7 +144,7 @@ class Raycaster:
         """Differentiable render; returns ``([BS,] 4, H, W)``
         (`/root/reference/differender/volume_raycaster.py:525-548`)."""
         out = self.forward_with_aux(volume, tf, look_from, key, sampling_rate)
-        return out.image if out.image.ndim == 3 else out.image
+        return out.image
 
     def __call__(self, volume, tf, look_from, key=None, sampling_rate=None):
         return self.forward(volume, tf, look_from, key, sampling_rate)
