@@ -28,9 +28,10 @@ import jax.numpy as jnp
 
 from .config import RenderConfig
 from .geometry import RayBundle, MarchParams, make_rays, march_params
-from .sampling import (apply_tf, sample_with_gradient,
-                       sample_with_gradient_analytic)
-from .shading import shade
+from .sampling import (apply_tf, apply_tf_soa, sample_soa_analytic,
+                       sample_soa_parity, sample_with_gradient,
+                       sample_with_gradient_analytic, tf_table8)
+from .shading import shade, shade_soa
 
 Array = jax.Array
 
@@ -139,6 +140,101 @@ def composite_block(acc, cnt, shaded, eligible, config: RenderConfig,
     return acc, cnt, gate
 
 
+class _RaySoA(NamedTuple):
+    """Flattened (N = H*W) structure-of-arrays ray state for the hot march.
+
+    The AoS ``RayBundle`` carries (H, W, 3) direction tensors; the march
+    instead threads per-component (N,) arrays so every hot tensor has a
+    clean TPU layout (see the SoA section of :mod:`differender_tpu.sampling`).
+    """
+
+    dx: Array
+    dy: Array
+    dz: Array
+    t0: Array
+    dt: Array
+    n_samples: Array
+
+
+def _ray_soa(rays: RayBundle, params: MarchParams) -> _RaySoA:
+    n = rays.dirs.shape[0] * rays.dirs.shape[1]
+    return _RaySoA(
+        dx=rays.dirs[..., 0].reshape(n),
+        dy=rays.dirs[..., 1].reshape(n),
+        dz=rays.dirs[..., 2].reshape(n),
+        t0=params.t0.reshape(n),
+        dt=params.dt.reshape(n),
+        n_samples=rays.n_samples.reshape(n),
+    )
+
+
+def _eval_block_soa(vol_flat, tf8, origin, soa: _RaySoA, steps, sampling_rate,
+                    config: RenderConfig, clamp_light: bool):
+    """Evaluate K march steps, SoA: exactly ONE volume gather and ONE TF
+    gather per block (two in parity-normals mode counts the same — the 7
+    stencil points batch into the volume gather).
+
+    Returns premultiplied channels (pr, pg, pb, alpha), the raw TF alpha,
+    and the in-range mask — all (K, N).
+    """
+    t = soa.t0[None] + steps[:, None].astype(jnp.float32) * soa.dt[None]
+    px = origin[0] + t * soa.dx[None]                       # (K, N)
+    py = origin[1] + t * soa.dy[None]
+    pz = origin[2] + t * soa.dz[None]
+    if config.analytic_normals:
+        intensity, (gx, gy, gz) = sample_soa_analytic(
+            vol_flat, config.volume_shape, px, py, pz, config.normal_delta)
+    else:
+        intensity, (gx, gy, gz) = sample_soa_parity(
+            vol_flat, config.volume_shape, px, py, pz, config.normal_delta)
+    r, g, b, a = apply_tf_soa(tf8, intensity)
+    pr, pg, pb, alpha = shade_soa(
+        px, py, pz, gx, gy, gz, r, g, b, a,
+        soa.dx[None], soa.dy[None], soa.dz[None],
+        origin, sampling_rate, config, clamp_light=clamp_light)
+    in_range = ((steps[:, None] < soa.n_samples[None])
+                & (steps[:, None] < config.max_samples))
+    return pr, pg, pb, alpha, a, in_range
+
+
+def composite_block_soa(accs, cnt, pr, pg, pb, pa, eligible,
+                        config: RenderConfig, ert: bool = True):
+    """SoA :func:`composite_block`: same closed-form prefix-gated composite,
+    channels threaded as separate (N,) arrays.
+
+    Args:
+        accs: (acc_r, acc_g, acc_b, acc_a) each (N,).
+        cnt: (N,) int32 or None.
+        pr/pg/pb/pa: (K, N) premultiplied step colors + opacity.
+        eligible: (K, N) bool, excluding the ERT gate.
+    """
+    acc_r, acc_g, acc_b, acc_a = accs
+    T_carry = 1.0 - acc_a                                   # (N,)
+    a_in = jnp.where(eligible, pa, 0.0)                     # (K, N)
+    if ert:
+        T_prev = _exclusive_cumprod(1.0 - a_in, axis=0)
+        gate = eligible & (T_carry[None] * T_prev
+                           > 1.0 - config.ert_threshold)
+        a_g = jnp.where(gate, pa, 0.0)
+        Tg_prev = _exclusive_cumprod(1.0 - a_g, axis=0)
+    else:
+        gate = eligible
+        a_g = a_in
+        Tg_prev = _exclusive_cumprod(1.0 - a_g, axis=0)
+
+    acc_r = acc_r + T_carry * jnp.sum(
+        Tg_prev * jnp.where(gate, pr, 0.0), axis=0)
+    acc_g = acc_g + T_carry * jnp.sum(
+        Tg_prev * jnp.where(gate, pg, 0.0), axis=0)
+    acc_b = acc_b + T_carry * jnp.sum(
+        Tg_prev * jnp.where(gate, pb, 0.0), axis=0)
+    T_new = T_carry * jnp.prod(1.0 - a_g, axis=0)
+    acc_a = 1.0 - T_new
+    if cnt is not None:
+        cnt = cnt + jnp.sum(gate.astype(jnp.int32), axis=0)
+    return (acc_r, acc_g, acc_b, acc_a), cnt, gate
+
+
 def march_diff(
     volume: Array,
     tf: Array,
@@ -149,6 +245,9 @@ def march_diff(
     ert: bool = True,
 ):
     """Differentiable march (reference ``raycast``, `:261-306`).
+
+    Internally SoA (see :func:`_eval_block_soa`): 2 gather HLOs per block
+    instead of the AoS path's one-per-callsite, and no trailing-3/4 tensors.
 
     Args:
         sampling_rate: traced float used in the math (opacity correction).
@@ -162,29 +261,35 @@ def march_diff(
     """
     params = march_params(rays)
     H, W = config.image_shape
+    N = H * W
     n_steps = config.diff_march_steps(static_sampling_rate)
     block = max(1, min(config.block_size, n_steps))
     n_blocks = -(-n_steps // block)
 
     sr = jnp.asarray(sampling_rate, jnp.float32)
+    soa = _ray_soa(rays, params)
+    vol_flat = volume.reshape(-1)
+    tf8 = tf_table8(tf)
 
     def block_fn(carry, s0):
-        acc, cnt = carry
+        accs, cnt = carry
         steps = s0 + jnp.arange(block, dtype=jnp.int32)
-        shaded, _, in_range, _ = _eval_block(volume, tf, rays, params,
-                                             steps, sr, config,
-                                             clamp_light=True)
-        acc, cnt, _ = composite_block(acc, cnt, shaded, in_range, config,
-                                      ert=ert)
-        return (acc, cnt), None
+        pr, pg, pb, pa, _, in_range = _eval_block_soa(
+            vol_flat, tf8, rays.origin, soa, steps, sr, config,
+            clamp_light=True)
+        accs, cnt, _ = composite_block_soa(accs, cnt, pr, pg, pb, pa,
+                                           in_range, config, ert=ert)
+        return (accs, cnt), None
 
     block_fn = jax.checkpoint(block_fn, prevent_cse=False)
 
-    acc0 = jnp.zeros((H, W, 4), jnp.float32)
-    cnt0 = jnp.ones((H, W), jnp.int32)   # init 1, see `clear_framebuffer` `:381`
+    zero = jnp.zeros((N,), jnp.float32)
+    accs0 = (zero, zero, zero, zero)
+    cnt0 = jnp.ones((N,), jnp.int32)   # init 1, see `clear_framebuffer` `:381`
     starts = jnp.arange(n_blocks, dtype=jnp.int32) * block
-    (acc, cnt), _ = jax.lax.scan(block_fn, (acc0, cnt0), starts)
-    return acc, cnt
+    (accs, cnt), _ = jax.lax.scan(block_fn, (accs0, cnt0), starts)
+    acc = jnp.stack(accs, axis=-1).reshape(H, W, 4)
+    return acc, cnt.reshape(H, W)
 
 
 def march_nondiff(
@@ -209,32 +314,40 @@ def march_nondiff(
     """
     params = march_params(rays)
     H, W = config.image_shape
+    N = H * W
     n_steps = config.max_steps_for(static_sampling_rate)
     block = max(1, min(config.block_size, n_steps))
     n_blocks = -(-n_steps // block)
 
     sr = jnp.asarray(sampling_rate, jnp.float32)
+    soa = _ray_soa(rays, params)
+    vol_flat = volume.reshape(-1)
+    tf8 = tf_table8(tf)
 
     def cond_fn(state):
-        acc, b = state
-        maybe_alive = (acc[..., 3] < config.ert_threshold) & (rays.n_samples > b * block)
+        accs, b = state
+        maybe_alive = ((accs[3] < config.ert_threshold)
+                       & (soa.n_samples > b * block))
         return (b < n_blocks) & jnp.any(maybe_alive)
 
     def body_fn(state):
-        acc, b = state
+        accs, b = state
         steps = b * block + jnp.arange(block, dtype=jnp.int32)
-        shaded, tf_alpha, _, _ = _eval_block(
-            volume, tf, rays, params, steps, sr, config, clamp_light=False)
+        pr, pg, pb, pa, tf_alpha, _ = _eval_block_soa(
+            vol_flat, tf8, rays.origin, soa, steps, sr, config,
+            clamp_light=False)
         # NOTE: the nondiff kernel has no max_samples cap (`:316`), so use
-        # the pure n_samples gate rather than _eval_block's in_range.
-        in_range = steps[:, None, None] < rays.n_samples[None]
+        # the pure n_samples gate rather than _eval_block_soa's in_range.
+        in_range = steps[:, None] < soa.n_samples[None]
         eligible = in_range & (tf_alpha > config.alpha_skip)   # `:334`
-        acc, _, _ = composite_block(acc, None, shaded, eligible, config,
-                                    ert=True)
-        return acc, b + 1
+        accs, _, _ = composite_block_soa(accs, None, pr, pg, pb, pa,
+                                         eligible, config, ert=True)
+        return accs, b + 1
 
-    acc0 = jnp.zeros((H, W, 4), jnp.float32)
-    acc, _ = jax.lax.while_loop(cond_fn, body_fn, (acc0, jnp.int32(0)))
+    zero = jnp.zeros((N,), jnp.float32)
+    accs, _ = jax.lax.while_loop(cond_fn, body_fn,
+                                 ((zero, zero, zero, zero), jnp.int32(0)))
+    acc = jnp.stack(accs, axis=-1).reshape(H, W, 4)
     return jnp.minimum(1.0, acc)
 
 

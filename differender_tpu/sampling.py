@@ -229,6 +229,151 @@ def sample_with_gradient_analytic(volume: Array, pos: Array,
     return intensity, grad
 
 
+# ---------------------------------------------------------------------------
+# SoA (structure-of-arrays) sampling path — the TPU hot-path layout.
+#
+# The AoS forms above materialize (..., 3) position and (..., 4) RGBA
+# tensors whose tiny minor dims acquire tile-padded TPU layouts (up to 32-64x
+# memory inflation at fusion boundaries), and issue one gather HLO per
+# call-site (each ~55 ms flat on this stack).  The SoA path keeps every
+# hot tensor in clean (K, N) / (8, K, N) shapes (minor dims are the large
+# flattened-pixel axis) and issues exactly ONE volume gather and ONE TF
+# gather per march block:
+#   * the 8 cell corners are addressed by per-sample base index + per-axis
+#     0/1 step offsets (clamped highs baked into the steps), so the corner
+#     index tensor is base[None] + bits*steps — no (..., 8, 3) stacking;
+#   * the TF lerp reads a precombined (R, 8) low/high table
+#     [tf[i], tf[min(i+1, R-1)]] with one gather instead of two.
+# Semantics are bit-identical to the AoS functions (same reference math).
+# ---------------------------------------------------------------------------
+
+def _axis_bits(ax: int, ndim: int):
+    """Corner bit pattern for an axis, shaped (8,) + (1,)*ndim (numpy)."""
+    return _CORNER_BITS[:, ax].reshape((8,) + (1,) * ndim)
+
+
+def corner_soa(volume_shape, px: Array, py: Array, pz: Array):
+    """Corner gather indices and per-axis weight factors, SoA layout.
+
+    Args:
+        px/py/pz: (...,) world coordinates in [-1, 1] (any equal shapes).
+    Returns:
+        idx8: (8, ...) int32 flat gather indices into ``volume.reshape(-1)``.
+        (wx, wy, wz): (8, ...) per-axis lerp factors; the trilinear weight is
+            their product, and the analytic in-cell derivative along an axis
+            replaces that axis' factor with ``2*bit - 1``.
+    Exact reference semantics (`/root/reference/differender/volume_raycaster.py:153-189`):
+    per-axis ``low = floor(clamped coord)``, ``high = min(low+1, size-1)``,
+    ``frac`` from the unclamped low.
+    """
+    X, Y, Z = volume_shape
+    nd = px.ndim
+
+    def axis(p, size):
+        scale = np.float32(size - 1.0 - 1e-4)
+        v = jnp.clip(0.5 * p + 0.5, 0.0, 1.0) * scale
+        lo_f = jnp.floor(v)
+        frac = v - lo_f
+        lo = lo_f.astype(jnp.int32)
+        step = jnp.minimum(lo + 1, size - 1) - lo          # 0/1 (clamped)
+        return lo, step, frac
+
+    lx, sx, fx = axis(px, X)
+    ly, sy, fy = axis(py, Y)
+    lz, sz, fz = axis(pz, Z)
+
+    base = (lx * Y + ly) * Z + lz                          # (...,)
+    bx, by, bz = (_axis_bits(a, nd) for a in range(3))
+    ibx, iby, ibz = (b.astype(np.int32) for b in (bx, by, bz))
+    idx8 = (base[None]
+            + ibx * (sx * (Y * Z))[None]
+            + iby * (sy * Z)[None]
+            + ibz * sz[None])                              # (8, ...)
+    wx = fx[None] * bx + (1.0 - fx)[None] * (1.0 - bx)
+    wy = fy[None] * by + (1.0 - fy)[None] * (1.0 - by)
+    wz = fz[None] * bz + (1.0 - fz)[None] * (1.0 - bz)
+    return idx8, (wx, wy, wz)
+
+
+def sample_soa_analytic(vol_flat: Array, volume_shape, px, py, pz,
+                        delta: float = 1e-3):
+    """Intensity + analytic in-cell gradient from ONE gather, SoA.
+
+    Equivalent to :func:`sample_with_gradient_analytic` (same math, SoA
+    layout): values exact, gradient is the analytic derivative of the
+    trilinear interpolant scaled to the reference's central-difference
+    magnitude.
+    Returns: intensity (...,), (gx, gy, gz) (...,).
+    """
+    X, Y, Z = volume_shape
+    idx8, (wx, wy, wz) = corner_soa(volume_shape, px, py, pz)
+    vals = jnp.take(vol_flat, idx8.reshape(-1), axis=0).reshape(idx8.shape)
+
+    nd = px.ndim
+    dbx, dby, dbz = (2.0 * _axis_bits(a, nd) - 1.0 for a in range(3))
+    intensity = jnp.sum(vals * (wx * wy * wz), axis=0)
+    sc = [np.float32(delta * (s - 1.0 - 1e-4)) for s in (X, Y, Z)]
+    gx = jnp.sum(vals * (dbx * wy * wz), axis=0) * sc[0]
+    gy = jnp.sum(vals * (wx * dby * wz), axis=0) * sc[1]
+    gz = jnp.sum(vals * (wx * wy * dbz), axis=0) * sc[2]
+    return intensity, (gx, gy, gz)
+
+
+def sample_soa_parity(vol_flat: Array, volume_shape, px, py, pz,
+                      delta: float = 1e-3):
+    """Intensity + central-difference gradient (full reference parity,
+    `/root/reference/differender/volume_raycaster.py:191-203`), SoA: the 7
+    stencil points (center, +-delta per axis) are batched into ONE gather of
+    shape (8, 7, ...).
+    Returns: intensity (...,), (gx, gy, gz) (...,).
+    """
+    nd = px.ndim
+    off = _NORMAL_OFFSETS.reshape((7, 3) + (1,) * nd)      # numpy
+    d = np.float32(delta)
+    pxs = px[None] + d * off[:, 0]
+    pys = py[None] + d * off[:, 1]
+    pzs = pz[None] + d * off[:, 2]
+    idx8, (wx, wy, wz) = corner_soa(volume_shape, pxs, pys, pzs)
+    vals = jnp.take(vol_flat, idx8.reshape(-1), axis=0).reshape(idx8.shape)
+    tri = jnp.sum(vals * (wx * wy * wz), axis=0)           # (7, ...)
+    intensity = tri[0]
+    return intensity, (tri[1] - tri[2], tri[3] - tri[4], tri[5] - tri[6])
+
+
+def tf_table8(tf: Array) -> Array:
+    """Precombined (R*8,) low/high TF table: row i = [tf[i], tf[min(i+1,R-1)]].
+    Lets :func:`apply_tf_soa` do the linear TF lerp with ONE gather."""
+    hi = jnp.concatenate([tf[1:], tf[-1:]], axis=0)
+    return jnp.concatenate([tf, hi], axis=1).reshape(-1)
+
+
+_ARANGE8 = np.arange(8, dtype=np.int32)
+
+
+def apply_tf_soa(tf8: Array, intensity: Array):
+    """TF lookup with SoA output channels; bit-identical to :func:`apply_tf`.
+
+    Args:
+        tf8: (R*8,) table from :func:`tf_table8`.
+        intensity: (...,) scalars.
+    Returns: (r, g, b, a) each (...,).
+    """
+    R = tf8.shape[0] // 8   # runtime texture size (NOT config.tf_resolution:
+                            # callers may pass differently-sized textures)
+    t = jnp.maximum(intensity * (R - 1.0), 0.0)
+    lo_f = jnp.floor(t)
+    frac = t - lo_f
+    lo = jnp.minimum(lo_f.astype(jnp.int32), R - 1)
+    lanes = _ARANGE8.reshape((8,) + (1,) * intensity.ndim)
+    idx = lo[None] * 8 + lanes                             # (8, ...)
+    v = jnp.take(tf8, idx.reshape(-1), axis=0).reshape(idx.shape)
+    omf = 1.0 - frac
+    return (v[0] * omf + v[4] * frac,
+            v[1] * omf + v[5] * frac,
+            v[2] * omf + v[6] * frac,
+            v[3] * omf + v[7] * frac)
+
+
 def apply_tf_hat(tf: Array, intensity: Array) -> Array:
     """Gather-free TF lookup: linear interpolation written in the hat basis,
     ``out = sum_i max(0, 1 - |t - i|) * tf[i]`` with ``t = clip(x*(R-1))``.

@@ -93,6 +93,54 @@ def _unit_normal_soa_bwd(res, v):
 unit_normal_soa.defvjp(_unit_normal_soa_fwd, _unit_normal_soa_bwd)
 
 
+def shade_soa(
+    px: Array, py: Array, pz: Array,        # (...,) sample position
+    gx: Array, gy: Array, gz: Array,        # (...,) unnormalized gradient
+    r: Array, g: Array, b: Array, a: Array,  # (...,) TF color channels
+    vdx: Array, vdy: Array, vdz: Array,     # per-ray view direction
+    look_from: Array,                       # (3,)
+    sampling_rate,
+    config: RenderConfig,
+    clamp_light: bool = True,
+):
+    """Structure-of-arrays :func:`shade` — identical math, no trailing-3/4
+    tensors (TPU hot-path layout; see the SoA section of
+    :mod:`differender_tpu.sampling`).  Returns premultiplied channels
+    ``(r*a*light, g*..., b*..., alpha)``, each (...,)."""
+    alpha = opacity_correction(a, sampling_rate)
+
+    g2 = gx * gx + gy * gy + gz * gz
+    has_n = g2 > 0.0
+    nx, ny, nz = unit_normal_soa(gx, gy, gz)
+
+    lpx = look_from[0]
+    lpy = look_from[1] + np.float32(1.0)    # headlight at lf + (0,1,0)
+    lpz = look_from[2]
+    ldx, ldy, ldz = px - lpx, py - lpy, pz - lpz
+    lmag = jnp.sqrt(ldx * ldx + ldy * ldy + ldz * ldz)
+    inv = 1.0 / jnp.where(lmag > 0.0, lmag, 1.0)
+    ldx, ldy, ldz = ldx * inv, ldy * inv, ldz * inv
+
+    dot = nx * ldx + ny * ldy + nz * ldz
+    diffuse = config.diffuse * jnp.where(has_n, jnp.maximum(dot, 0.0), 0.0)
+
+    # GLSL reflect(I, N) = I - 2*dot(N, I)*N  (`tl.reflect`, `:293-294`)
+    rx = ldx - 2.0 * dot * nx
+    ry = ldy - 2.0 * dot * ny
+    rz = ldz - 2.0 * dot * nz
+    r_dot_v = jnp.maximum(-(rx * vdx + ry * vdy + rz * vdz), 0.0)
+    specular = config.specular * jnp.where(
+        has_n, jnp.power(r_dot_v, config.shininess), 0.0)
+
+    light = diffuse + specular + config.ambient
+    if clamp_light:
+        light = jnp.minimum(1.0, light)
+
+    lc = np.asarray(config.light_color, np.float32)
+    la = light * alpha
+    return r * la * lc[0], g * la * lc[1], b * la * lc[2], alpha
+
+
 def shade(
     pos: Array,             # (..., 3) sample position
     grad: Array,            # (..., 3) unnormalized volume gradient

@@ -18,11 +18,12 @@ import pytest  # noqa: E402
 # jax with a TPU plugin (axon); force the CPU platform explicitly.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
-# Persistent compilation cache: XLA-CPU compiles dominate test wall time on
-# the 1-core CI box; cache them across runs.
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_differender")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+# NOTE: do NOT enable the persistent compilation cache here.  On this box
+# XLA:CPU's cache serialize/load path compiles against a generic machine
+# profile (+prefer-no-gather/+prefer-no-scatter) that mismatches the host,
+# and the loaded AOT executables MISEXECUTE (NaN images; the loader even
+# warns "could lead to execution errors such as SIGILL").  Cold compiles
+# cost ~6 min for the full suite — correctness wins.
 
 
 @pytest.fixture(scope="session")
