@@ -73,9 +73,16 @@ class RenderConfig:
     block_size: int = 32
     unroll: int = 1
     analytic_normals: bool = False   # fast mode: in-cell analytic gradient
-                                     # (8 instead of 56 gathers per sample;
-                                     # values exact, normals near-identical —
-                                     # see sampling.sample_with_gradient_analytic)
+                                     # (1 instead of 7 gathered cell rows per
+                                     # sample; values exact, normals near-
+                                     # identical — see
+                                     # sampling.sample_with_gradient_analytic)
+    cell_gather: bool = True         # march against the (X*Y*Z, 8) cell
+                                     # table (one row gather per trilinear
+                                     # sample; 8x volume memory) instead of
+                                     # 8 scalar corner gathers — ~8-12x
+                                     # faster on the per-index-cost TPU
+                                     # gather (see sampling.cell_table)
 
     # ------------------------------------------------------------------
     # Derived static quantities

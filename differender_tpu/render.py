@@ -28,9 +28,11 @@ import jax.numpy as jnp
 
 from .config import RenderConfig
 from .geometry import RayBundle, MarchParams, make_rays, march_params
-from .sampling import (apply_tf, apply_tf_soa, sample_soa_analytic,
-                       sample_soa_parity, sample_with_gradient,
-                       sample_with_gradient_analytic, tf_table8)
+from .sampling import (apply_tf, apply_tf_hat_soa, apply_tf_soa, cell_table,
+                       sample_cell_analytic, sample_cell_parity,
+                       sample_soa_analytic, sample_soa_parity,
+                       sample_with_gradient, sample_with_gradient_analytic,
+                       tf_table8)
 from .shading import shade, shade_soa
 
 Array = jax.Array
@@ -168,12 +170,28 @@ def _ray_soa(rays: RayBundle, params: MarchParams) -> _RaySoA:
     )
 
 
-def _eval_block_soa(vol_flat, tf8, origin, soa: _RaySoA, steps, sampling_rate,
-                    config: RenderConfig, clamp_light: bool):
-    """Evaluate K march steps, SoA: exactly ONE volume gather and ONE TF
-    gather per block (two in parity-normals mode counts the same — the 7
-    stencil points batch into the volume gather).
+def _prep_volume(volume: Array, config: RenderConfig):
+    """March-ready volume operand: the (X*Y*Z, 8) cell table (default; one
+    row gather per trilinear sample) or the flat volume (``cell_gather=
+    False`` — 8x less memory, ~8x slower sampling; for volumes whose cell
+    table would not fit HBM)."""
+    return cell_table(volume) if config.cell_gather else volume.reshape(-1)
 
+
+def _prep_tf(tf: Array, config: RenderConfig):
+    """March-ready TF operand: the raw (R, 4) texture for the gather-free
+    hat expansion (R <= 256), else the (R*8,) low/high gather table."""
+    return tf if tf.shape[0] <= 256 else tf_table8(tf)
+
+
+def _eval_block_soa(vol_op, tf_op, origin, soa: _RaySoA, steps, sampling_rate,
+                    config: RenderConfig, clamp_light: bool):
+    """Evaluate K march steps, SoA.  Gather budget per block (the dominant
+    cost on this stack is per-INDEX, see experiments/): ONE cell-row gather
+    per sample for value+analytic gradient (7 rows in parity-normals mode),
+    ZERO gathers for the TF (hat expansion) at R <= 256.
+
+    ``vol_op``/``tf_op`` come from :func:`_prep_volume`/:func:`_prep_tf`.
     Returns premultiplied channels (pr, pg, pb, alpha), the raw TF alpha,
     and the in-range mask — all (K, N).
     """
@@ -181,17 +199,34 @@ def _eval_block_soa(vol_flat, tf8, origin, soa: _RaySoA, steps, sampling_rate,
     px = origin[0] + t * soa.dx[None]                       # (K, N)
     py = origin[1] + t * soa.dy[None]
     pz = origin[2] + t * soa.dz[None]
-    if config.analytic_normals:
-        intensity, (gx, gy, gz) = sample_soa_analytic(
-            vol_flat, config.volume_shape, px, py, pz, config.normal_delta)
+    if config.cell_gather:
+        sample = (sample_cell_analytic if config.analytic_normals
+                  else sample_cell_parity)
     else:
-        intensity, (gx, gy, gz) = sample_soa_parity(
-            vol_flat, config.volume_shape, px, py, pz, config.normal_delta)
-    r, g, b, a = apply_tf_soa(tf8, intensity)
+        sample = (sample_soa_analytic if config.analytic_normals
+                  else sample_soa_parity)
+    intensity, (gx, gy, gz) = sample(vol_op, config.volume_shape,
+                                     px, py, pz, config.normal_delta)
+    # Checkpoint-name tags: march_diff's remat policy saves exactly these
+    # five (K, N) residuals per block, so the backward pass recomputes the
+    # cheap elementwise chain but NEVER re-issues the cell-row gather (the
+    # march is linear in the gathered values, so d_vals needs only weights
+    # and cotangents; XLA dead-code-eliminates the forward gather from the
+    # backward unless camera gradients are requested).
+    from jax.ad_checkpoint import checkpoint_name as name
+    intensity = name(intensity, "march_intensity")
+    gx = name(gx, "march_gx")
+    gy = name(gy, "march_gy")
+    gz = name(gz, "march_gz")
+    if tf_op.ndim == 2:
+        r, g, b, a = apply_tf_hat_soa(tf_op, intensity)
+    else:
+        r, g, b, a = apply_tf_soa(tf_op, intensity)
     pr, pg, pb, alpha = shade_soa(
         px, py, pz, gx, gy, gz, r, g, b, a,
         soa.dx[None], soa.dy[None], soa.dz[None],
         origin, sampling_rate, config, clamp_light=clamp_light)
+    alpha = name(alpha, "march_alpha")
     in_range = ((steps[:, None] < soa.n_samples[None])
                 & (steps[:, None] < config.max_samples))
     return pr, pg, pb, alpha, a, in_range
@@ -268,20 +303,28 @@ def march_diff(
 
     sr = jnp.asarray(sampling_rate, jnp.float32)
     soa = _ray_soa(rays, params)
-    vol_flat = volume.reshape(-1)
-    tf8 = tf_table8(tf)
+    vol_op = _prep_volume(volume, config)
+    tf_op = _prep_tf(tf, config)
 
     def block_fn(carry, s0):
         accs, cnt = carry
         steps = s0 + jnp.arange(block, dtype=jnp.int32)
         pr, pg, pb, pa, _, in_range = _eval_block_soa(
-            vol_flat, tf8, rays.origin, soa, steps, sr, config,
+            vol_op, tf_op, rays.origin, soa, steps, sr, config,
             clamp_light=True)
         accs, cnt, _ = composite_block_soa(accs, cnt, pr, pg, pb, pa,
                                            in_range, config, ert=ert)
         return (accs, cnt), None
 
-    block_fn = jax.checkpoint(block_fn, prevent_cse=False)
+    # Remat with named residuals: O(5*K*N) saved per block (the tagged
+    # intensity/gradient/alpha), everything else recomputed — crucially the
+    # cell-row gather is NOT re-issued in the backward (see _eval_block_soa).
+    block_fn = jax.checkpoint(
+        block_fn,
+        policy=jax.checkpoint_policies.save_only_these_names(
+            "march_intensity", "march_gx", "march_gy", "march_gz",
+            "march_alpha"),
+        prevent_cse=False)
 
     zero = jnp.zeros((N,), jnp.float32)
     accs0 = (zero, zero, zero, zero)
@@ -321,8 +364,8 @@ def march_nondiff(
 
     sr = jnp.asarray(sampling_rate, jnp.float32)
     soa = _ray_soa(rays, params)
-    vol_flat = volume.reshape(-1)
-    tf8 = tf_table8(tf)
+    vol_op = _prep_volume(volume, config)
+    tf_op = _prep_tf(tf, config)
 
     def cond_fn(state):
         accs, b = state
@@ -334,7 +377,7 @@ def march_nondiff(
         accs, b = state
         steps = b * block + jnp.arange(block, dtype=jnp.int32)
         pr, pg, pb, pa, tf_alpha, _ = _eval_block_soa(
-            vol_flat, tf8, rays.origin, soa, steps, sr, config,
+            vol_op, tf_op, rays.origin, soa, steps, sr, config,
             clamp_light=False)
         # NOTE: the nondiff kernel has no max_samples cap (`:316`), so use
         # the pure n_samples gate rather than _eval_block_soa's in_range.

@@ -340,6 +340,128 @@ def sample_soa_parity(vol_flat: Array, volume_shape, px, py, pz,
     return intensity, (tri[1] - tri[2], tri[3] - tri[4], tri[5] - tri[6])
 
 
+def cell_table(volume: Array) -> Array:
+    """(X*Y*Z, 8) cell table: row (x,y,z) holds the 8 trilinear corner
+    values of cell (x,y,z) in ``_CORNERS`` order, highs clamped at the
+    boundary (`/root/reference/differender/volume_raycaster.py:170-172`).
+
+    WHY (measured, experiments/exp_slope_profile.py): gather cost on this
+    XLA-TPU stack is per-INDEX (~0.12 G idx/s scalar) and a W=8 row gather
+    moves 8x the data at ~0.7x the scalar per-index cost — so one
+    row-gather per sample replaces 8 scalar corner gathers, cutting the
+    march's dominant cost ~8-12x.  8x volume memory (537 MB at 256^3);
+    gradients flow through the 8 clamped shifts automatically.
+    """
+    def hi_shift(v, ax):
+        n = v.shape[ax]
+        return jnp.concatenate(
+            [jax.lax.slice_in_dim(v, 1, n, axis=ax),
+             jax.lax.slice_in_dim(v, n - 1, n, axis=ax)], axis=ax)
+
+    rows = []
+    for bx, by, bz in _CORNERS:
+        v = volume
+        if bx:
+            v = hi_shift(v, 0)
+        if by:
+            v = hi_shift(v, 1)
+        if bz:
+            v = hi_shift(v, 2)
+        rows.append(v.reshape(-1))
+    return jnp.stack(rows, axis=-1)
+
+
+def _cell_base_fracs(volume_shape, px, py, pz):
+    """Flat cell index (lo corner) + per-axis fracs, reference semantics."""
+    X, Y, Z = volume_shape
+
+    def axis(p, size):
+        scale = np.float32(size - 1.0 - 1e-4)
+        v = jnp.clip(0.5 * p + 0.5, 0.0, 1.0) * scale
+        lo_f = jnp.floor(v)
+        return lo_f.astype(jnp.int32), v - lo_f
+
+    lx, fx = axis(px, X)
+    ly, fy = axis(py, Y)
+    lz, fz = axis(pz, Z)
+    return (lx * Y + ly) * Z + lz, fx, fy, fz
+
+
+def _corner_weight_factors(fx, fy, fz):
+    """Per-axis (8, ...) lerp factors from fracs (corner bit broadcasting)."""
+    nd = fx.ndim
+    bx, by, bz = (_axis_bits(a, nd) for a in range(3))
+    wx = fx[None] * bx + (1.0 - fx)[None] * (1.0 - bx)
+    wy = fy[None] * by + (1.0 - fy)[None] * (1.0 - by)
+    wz = fz[None] * bz + (1.0 - fz)[None] * (1.0 - bz)
+    return wx, wy, wz
+
+
+def _cell_rows(cell: Array, base: Array) -> Array:
+    """Row-gather the cell table at flat indices ``base`` (...,); returns
+    corner values (8, ...) (transposed immediately — the (M, 8) gather
+    output's tiny minor dim is a TPU tile-padding trap)."""
+    vals = jnp.take(cell, base.reshape(-1), axis=0)        # (M, 8)
+    return vals.T.reshape((8,) + base.shape)
+
+
+def sample_cell_analytic(cell: Array, volume_shape, px, py, pz,
+                         delta: float = 1e-3):
+    """Intensity + analytic in-cell gradient from ONE row gather per sample.
+    Same math as :func:`sample_with_gradient_analytic`."""
+    X, Y, Z = volume_shape
+    base, fx, fy, fz = _cell_base_fracs(volume_shape, px, py, pz)
+    vals = _cell_rows(cell, base)                          # (8, ...)
+    wx, wy, wz = _corner_weight_factors(fx, fy, fz)
+    nd = px.ndim
+    dbx, dby, dbz = (2.0 * _axis_bits(a, nd) - 1.0 for a in range(3))
+    intensity = jnp.sum(vals * (wx * wy * wz), axis=0)
+    sc = [np.float32(delta * (s - 1.0 - 1e-4)) for s in (X, Y, Z)]
+    gx = jnp.sum(vals * (dbx * wy * wz), axis=0) * sc[0]
+    gy = jnp.sum(vals * (wx * dby * wz), axis=0) * sc[1]
+    gz = jnp.sum(vals * (wx * wy * dbz), axis=0) * sc[2]
+    return intensity, (gx, gy, gz)
+
+
+def sample_cell_parity(cell: Array, volume_shape, px, py, pz,
+                       delta: float = 1e-3):
+    """Full-parity central-difference sampling via the cell table: 7 row
+    gathers per sample (one per stencil point) in a single take."""
+    nd = px.ndim
+    off = _NORMAL_OFFSETS.reshape((7, 3) + (1,) * nd)
+    d = np.float32(delta)
+    pxs = px[None] + d * off[:, 0]
+    pys = py[None] + d * off[:, 1]
+    pzs = pz[None] + d * off[:, 2]
+    base, fx, fy, fz = _cell_base_fracs(volume_shape, pxs, pys, pzs)
+    vals = _cell_rows(cell, base)                          # (8, 7, ...)
+    wx, wy, wz = _corner_weight_factors(fx, fy, fz)
+    tri = jnp.sum(vals * (wx * wy * wz), axis=0)           # (7, ...)
+    return tri[0], (tri[1] - tri[2], tri[3] - tri[4], tri[5] - tri[6])
+
+
+def apply_tf_hat_soa(tf: Array, intensity: Array):
+    """Gather-free TF lerp, SoA channels: the unrolled hat-basis expansion
+    ``sum_i max(0, 1 - |t - i|) * tf[i]`` with ``t = clip(x*(R-1), 0, R-1)``.
+
+    Bit-identical to :func:`apply_tf` (at most two nonzero hat weights;
+    adding exact zeros preserves the two-term lerp), with ZERO gather HLOs —
+    R * ~7 fused VPU ops per sample, which at R=128 beats the per-index
+    gather cost ~5x (see experiments/).  Use for R <= 256; fall back to
+    :func:`apply_tf_soa` for larger textures.
+    Returns (r, g, b, a) each shaped like ``intensity``.
+    """
+    R = tf.shape[0]
+    t = jnp.clip(intensity * (R - 1.0), 0.0, R - 1.0)
+    accs = [None] * 4
+    for i in range(R):
+        w = jnp.maximum(0.0, 1.0 - jnp.abs(t - np.float32(i)))
+        for c in range(4):
+            term = w * tf[i, c]
+            accs[c] = term if accs[c] is None else accs[c] + term
+    return tuple(accs)
+
+
 def tf_table8(tf: Array) -> Array:
     """Precombined (R*8,) low/high TF table: row i = [tf[i], tf[min(i+1,R-1)]].
     Lets :func:`apply_tf_soa` do the linear TF lerp with ONE gather."""
