@@ -20,7 +20,7 @@ from .losses import mse_loss, ssim, dssim_mse_loss
 from .optim import (tf_momentum, project_nonneg, project_unit,
                     nan_to_num_grads, value_and_clean_grad, adamw_onecycle)
 from .utils.camera import in_circles, get_rand_pos
-from .fastpath import render_fast, FastRenderOutput
+from .fastpath import render_fast, render_fast_sharded, FastRenderOutput
 
 __all__ = [
     "RenderConfig", "RayBundle", "make_rays", "ray_directions", "ray_aabb",
@@ -33,5 +33,5 @@ __all__ = [
     "tf_momentum", "project_nonneg", "project_unit", "nan_to_num_grads",
     "value_and_clean_grad", "adamw_onecycle",
     "in_circles", "get_rand_pos",
-    "render_fast", "FastRenderOutput",
+    "render_fast", "render_fast_sharded", "FastRenderOutput",
 ]

@@ -83,6 +83,50 @@ class RenderConfig:
                                      # 8 scalar corner gathers — ~8-12x
                                      # faster on the per-index-cost TPU
                                      # gather (see sampling.cell_table)
+    march_table: str = "auto"        # march volume operand:
+                                     #   "flat"    — flat volume, 8 scalar
+                                     #               gathers per sample
+                                     #   "cell8"   — (X*Y*Z, 8) cell rows,
+                                     #               1 (analytic) / 7
+                                     #               (parity) per sample
+                                     #   "super64" — (X*Y*Z, 64) 4x4x4
+                                     #               neighborhood rows: the
+                                     #               whole parity stencil =
+                                     #               ONE gather; analytic
+                                     #               groups supercell_group
+                                     #               consecutive steps per
+                                     #               gather.  64x memory.
+                                     #   "auto"    — super64 when the table
+                                     #               fits super64_max_bytes
+                                     #               (and semantics allow),
+                                     #               else cell8/flat per
+                                     #               cell_gather.
+    super64_max_bytes: int = 6 << 30
+    march_vjp: str = "ad"            # volume-gradient path of the march:
+                                     #   "ad"    — jax AD (scatter into the
+                                     #             global table; exact, also
+                                     #             gives look_from grads)
+                                     #   "tiled" — hand-written VJP: per-
+                                     #             image-tile scatter into a
+                                     #             cache-resident box +
+                                     #             dense fold (measured
+                                     #             ~7-10 ns/row vs 60-190
+                                     #             global).  Volume and TF
+                                     #             grads exact; look_from
+                                     #             grads are INCOMPLETE
+                                     #             (sample-position terms
+                                     #             dropped — the reference
+                                     #             has no camera grads at
+                                     #             all) — use "ad" if you
+                                     #             differentiate the camera.
+                                     #             Requires march_table
+                                     #             super64 and image dims
+                                     #             divisible by vjp_tile.
+    vjp_tile: int = 16               # image tile edge (pixels) of the tiled
+                                     # VJP's scatter locality
+    vjp_box: int = 32                # voxel box edge of the tiled VJP's
+                                     # local accumulation (box^3 * 256 B
+                                     # must stay cache-resident: 32 -> 8 MB)
 
     # ------------------------------------------------------------------
     # Derived static quantities
@@ -129,6 +173,41 @@ class RenderConfig:
         so the scan bound is ``min(max_samples, geometric upper bound)``.
         """
         return min(self.max_samples, self.max_steps_for(sampling_rate))
+
+    def resolved_march_table(self) -> str:
+        """Resolve the ``march_table`` knob (see its docstring).
+
+        ``super64`` requires the parity stencil to fit one 4x4x4 row:
+        ``2 * normal_delta * (size-1) < 1`` voxel, i.e. size <= 500 at the
+        reference delta 1e-3 — always true at practical resolutions.
+        """
+        if self.march_table != "auto":
+            return self.march_table
+        x, y, z = self.volume_shape
+        bytes64 = x * y * z * 64 * 4
+        if (bytes64 <= self.super64_max_bytes
+                and 2.0 * self.normal_delta * (max(self.volume_shape) - 1.0)
+                < 1.0):
+            return "super64"
+        return "cell8" if self.cell_gather else "flat"
+
+    def supercell_group(self, sampling_rate: float) -> int:
+        """How many consecutive march steps may share one supercell row.
+
+        A group of G steps along a ray spans at most
+        ``(G-1) * 1.5 * (s_max - 1) / (2 * sr * vol_diag)`` voxels per axis
+        (the 1.5 covers the short-ray n=2 worst case of the reference's
+        ``mix(entry + 0.5 len/n, exit, s/(n-1))`` step); the 4x4x4 row
+        covers a 3-cell span, so the group is valid when that span < 2
+        (cells within [base, base+2] with floors' +-1 slack).  Groups also
+        must divide the march block size.
+        """
+        s_max = max(self.volume_shape) - 1.0
+        step_vox = 1.5 * s_max / (2.0 * sampling_rate * self.vol_diag)
+        for g in (4, 2):
+            if (g - 1) * step_vox < 2.0 and self.block_size % g == 0:
+                return g
+        return 1
 
     def replace(self, **kw) -> "RenderConfig":
         return dataclasses.replace(self, **kw)

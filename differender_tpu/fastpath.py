@@ -8,9 +8,9 @@ alternative: Lacroute's perspective shear-warp factorization
 
   1. the volume is augmented with a central-difference gradient field
      (shift arithmetic, no gather); the TF is applied per slab sample in
-     intermediate space via a gather-free hat-basis expansion
+     intermediate space as an MXU dot against hat-basis weights
      (post-classification, matching the reference's interpolate-then-
-     classify order);
+     classify order) — see :func:`differender_tpu.sampling.apply_tf_dot`;
   2. the view transform is factorized: for slab planes along the principal
      axis, the mapping from a fixed "intermediate image" grid (the rays'
      crossings with the ``z = 0`` plane) to slab coordinates is a per-slab
@@ -31,13 +31,17 @@ with ``intermediate``/``planes_per_voxel`` density (SSIM 0.73 -> 0.90 from
 w.r.t. volume and TF end-to-end.
 
 Measured (TPU v5e, 256^3 volume -> 512^2 image, 2 planes/voxel):
-fwd 0.43 s / fwd+bwd 2.5 s at O=768; fwd 0.83 s / fwd+bwd 4.5 s at O=1024 —
-12-24x / 7-13x over the exact gather-based march.  512^3 -> 1024^2 renders
-in ~2 s (where the exact path faults).  Cost scales with O^2 per slab
-(TF hat evaluation dominates); see CLAUDE.md for the round-2 plan.
+round 1: fwd 0.43 s / fwd+bwd 2.5 s at O=768 with an unrolled hat-TF and
+HIGHEST-precision matmuls.  Round 2 (TF classification as an MXU dot +
+default HIGH precision, experiments/fastpath_profile_results.jsonl):
+fwd 0.30 s / fwd+bwd 1.80 s at O=768 (L-inf 7e-4 vs the all-f32 render —
+far below the slab-quadrature error).  512^3 -> 1024^2 renders in ~2 s
+(where the exact path faults).  Cost scales with O^2 per slab (TF
+classification dominates: 83% of forward in the round-1 profile).
 """
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple, Optional
 
 import jax
@@ -46,7 +50,7 @@ import numpy as np
 
 from .config import RenderConfig
 from .geometry import ray_directions, ray_aabb
-from .sampling import apply_tf_hat
+from .sampling import apply_tf_dot
 from .shading import unit_normal_soa
 
 Array = jax.Array
@@ -100,15 +104,22 @@ def _interp_matrix(src_pos: Array, in_size: int):
 
 def _core(channels: Array, tf: Array, lf: Array, light: Array,
           config: RenderConfig, intermediate: int, planes_per_voxel: float,
-          precision=jax.lax.Precision.HIGHEST):
+          precision=jax.lax.Precision.HIGH, row_offset=None,
+          n_rows: Optional[int] = None):
     """Render with the LAST axis as principal; camera z must be < -1.
 
     channels: (4, X, Y, Z) intensity+gradient (already flipped so the
     camera sits on the negative-z side).
-    Returns (intermediate rgba (O, O, 4), grid extents (x0, y0, dx, dy)).
+    ``row_offset``/``n_rows``: compute only intermediate rows
+    ``[row_offset, row_offset + n_rows)`` of the O-row grid — the SPMD
+    strip decomposition used by :func:`render_fast_sharded` (default: all
+    O rows).
+    Returns (intermediate rgba (n_rows, O, 4), grid extents (x0, y0, dx, dy)).
     """
     C, X, Y, Z = channels.shape
     O = intermediate
+    R = O if n_rows is None else n_rows
+    row0 = jnp.int32(0) if row_offset is None else row_offset
     lx, ly, lz = lf[0], lf[1], lf[2]
 
     # --- intermediate grid: ray crossings with the z=0 plane -------------
@@ -124,7 +135,8 @@ def _core(channels: Array, tf: Array, lf: Array, light: Array,
     y0, y1 = y0 - pad, y1 + pad
     dx = (x1 - x0) / (O - 1)
     dy = (y1 - y0) / (O - 1)
-    ga = x0 + dx * jnp.arange(O, dtype=jnp.float32)            # (O,)
+    ga = x0 + dx * (row0.astype(jnp.float32)
+                    + jnp.arange(R, dtype=jnp.float32))        # (R,) local
     gb = y0 + dy * jnp.arange(O, dtype=jnp.float32)
 
     # --- per-intermediate-pixel ray geometry ------------------------------
@@ -140,21 +152,21 @@ def _core(channels: Array, tf: Array, lf: Array, light: Array,
     exponent = step_len * np.float32(config.vol_diag)
 
     def shade_slab(res, zw, coverage):
-        """res: (4, O, O) resampled intensity+gradient at plane z=zw.
-        coverage: (O, O) 1 inside the volume footprint, 0 outside — samples
+        """res: (4, R, O) resampled intensity+gradient at plane z=zw.
+        coverage: (R, O) 1 inside the volume footprint, 0 outside — samples
         off the footprint have zeroed interp-matrix rows (intensity 0) and
         must not composite; TFs with alpha at intensity 0 ('black'/'gray')
         would otherwise lay phantom fog along empty space, which the exact
         path (sampling only within [entry, exit]) never does."""
-        rgba = apply_tf_hat(tf, res[0])                        # (O, O, 4)
-        g = res[1:4]                                           # (3, O, O)
+        rgba = apply_tf_dot(tf, res[0], precision=precision)   # (R, O, 4)
+        g = res[1:4]                                           # (3, R, O)
         # positions on the plane
         sz = (zw - lz) / (0.0 - lz)
-        px = lx + sz * (ga[:, None] - lx)                      # (O, 1)->(O,O)
+        px = lx + sz * (ga[:, None] - lx)                      # (R, 1)->(R,O)
         py = ly + sz * (gb[None, :] - ly)
-        px = jnp.broadcast_to(px, (O, O))
-        py = jnp.broadcast_to(py, (O, O))
-        pz = jnp.full((O, O), zw, jnp.float32)
+        px = jnp.broadcast_to(px, (R, O))
+        py = jnp.broadcast_to(py, (R, O))
+        pz = jnp.full((R, O), zw, jnp.float32)
 
         g2 = g[0] ** 2 + g[1] ** 2 + g[2] ** 2
         nx, ny, nz = unit_normal_soa(g[0], g[1], g[2])
@@ -190,7 +202,7 @@ def _core(channels: Array, tf: Array, lf: Array, light: Array,
         # slab sample positions in voxel coords
         src_x = (lx + sz * (ga - lx) + 1.0) * xsc               # (O,)
         src_y = (ly + sz * (gb - ly) + 1.0) * ysc
-        Mx = _interp_matrix(src_x, X)                           # (O, X)
+        Mx = _interp_matrix(src_x, X)                           # (R, X)
         My = _interp_matrix(src_y, Y)                           # (O, Y)
         # z interpolation between the two neighboring voxel layers
         zv = jnp.clip((zw + 1.0) * zsc, 0.0, Z - 1.0)
@@ -217,8 +229,8 @@ def _core(channels: Array, tf: Array, lf: Array, light: Array,
         return (acc_rgb, T), None
 
     slab_fn = jax.checkpoint(slab_fn, prevent_cse=False)
-    acc0 = jnp.zeros((O, O, 3), jnp.float32)
-    T0 = jnp.ones((O, O), jnp.float32)
+    acc0 = jnp.zeros((R, O, 3), jnp.float32)
+    T0 = jnp.ones((R, O), jnp.float32)
     (acc_rgb, T), _ = jax.lax.scan(slab_fn, (acc0, T0), zws)
     inter = jnp.concatenate([acc_rgb, (1.0 - T)[..., None]], axis=-1)
     return inter, (x0, y0, dx, dy)
@@ -272,7 +284,7 @@ def render_fast(
     config: RenderConfig,
     intermediate: Optional[int] = None,
     planes_per_voxel: float = 1.0,
-    precision=jax.lax.Precision.HIGHEST,
+    precision=jax.lax.Precision.HIGH,
 ) -> FastRenderOutput:
     """Shear-warp fast render (see module docstring).
 
@@ -282,16 +294,38 @@ def render_fast(
             with O^2).
         planes_per_voxel: slab planes per voxel layer along the principal
             axis (the fast-path analogue of ``sampling_rate``).
-        precision: MXU precision for the resampling matmuls.  HIGHEST is
-            f32-faithful; ``jax.lax.Precision.DEFAULT`` runs the bf16 MXU
-            fast path (interpolation weights/values rounded to bf16 — a
-            visual-quality/speed knob).
+        precision: MXU precision for the resampling + TF matmuls.
+            Default HIGH (bf16x3 passes): measured L-inf 7e-4 vs HIGHEST
+            at the headline config — far below the slab-quadrature error —
+            for 1.24x speed.  HIGHEST is f32-faithful; DEFAULT (single
+            bf16 pass) is the fastest knob at visible (L-inf ~0.08) cost.
+    """
+    return _render_fast_impl(volume, tf, look_from, config, intermediate,
+                             planes_per_voxel, precision, spmd_axis=None)
+
+
+def _render_fast_impl(volume, tf, look_from, config: RenderConfig,
+                      intermediate, planes_per_voxel, precision,
+                      spmd_axis=None) -> FastRenderOutput:
+    """Shared body of :func:`render_fast` / :func:`render_fast_sharded`.
+
+    With ``spmd_axis`` set (inside a ``shard_map``), each device computes a
+    contiguous strip of intermediate-image rows — the per-slab O^2 resample/
+    classify/shade cost (the measured bottleneck) divides by the axis size —
+    then the strips are ``all_gather``-ed for the final warp.
     """
     volume = jnp.asarray(volume, jnp.float32)
     tf = jnp.asarray(tf, jnp.float32)
     look_from = jnp.asarray(look_from, jnp.float32)
     H, W = config.image_shape
     O = intermediate or min(int(1.5 * max(H, W)), 1024)
+    if spmd_axis is not None:
+        k_count = jax.lax.axis_size(spmd_axis)
+        assert O % k_count == 0, "intermediate size must divide the mesh axis"
+        n_rows = O // k_count
+        row0 = jax.lax.axis_index(spmd_axis) * n_rows
+    else:
+        n_rows, row0 = None, None
 
     channels = intensity_gradient_volume(volume)               # (4, X, Y, Z)
     p = jnp.argmax(jnp.abs(look_from))
@@ -317,7 +351,10 @@ def render_fast(
             light_w = look_from + np.array([0.0, 1.0, 0.0], np.float32)
             light_f = light_w[np.asarray(perm)] * flip_vec
             inter, ext = _core(chf, tf, lf_f, light_f, config, O,
-                               planes_per_voxel, precision)
+                               planes_per_voxel, precision,
+                               row_offset=row0, n_rows=n_rows)
+            if spmd_axis is not None:
+                inter = jax.lax.all_gather(inter, spmd_axis, tiled=True)
             img, hit = _warp_to_image(inter, ext, look_from, config, perm,
                                       flip_vec)
             return img, hit
@@ -328,3 +365,43 @@ def render_fast(
     img, hit = jax.lax.switch(p, [lambda: branch(0), lambda: branch(1),
                                   lambda: branch(2)])
     return FastRenderOutput(image=img, hit=hit)
+
+
+def render_fast_sharded(
+    volume: Array,
+    tf: Array,
+    look_from: Array,
+    config: RenderConfig,
+    mesh,
+    axis: str = "space",
+    intermediate: Optional[int] = None,
+    planes_per_voxel: float = 1.0,
+    precision=jax.lax.Precision.HIGH,
+) -> FastRenderOutput:
+    """Multi-device shear-warp render (CLAUDE.md round-2 plan d).
+
+    The intermediate image is sharded by ROWS over ``mesh[axis]``: each
+    device resamples/classifies/shades only its strip of every slab (the
+    O^2-per-slab work that bounds the fast path divides by the axis size;
+    slab z-interpolation and compositing stay device-local).  One
+    ``all_gather`` of the (O, O, 4) intermediate image precedes the final
+    warp.  The volume is replicated — for volumes too large for one device,
+    use :func:`differender_tpu.parallel.render_volume_sharded`.
+
+    Inputs/outputs are replicated; gradients flow to volume and TF (the
+    all_gather transposes to a psum of strip cotangents).  Semantics are
+    identical to :func:`render_fast` (cross-checked in tests/test_parallel).
+    """
+    from jax.sharding import PartitionSpec as P
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh, in_specs=(P(), P(), P()),
+        out_specs=FastRenderOutput(image=P(), hit=P()), check_vma=False)
+    def fn(vol, tf_, lf):
+        return _render_fast_impl(vol, tf_, lf, config, intermediate,
+                                 planes_per_voxel, precision,
+                                 spmd_axis=axis)
+
+    return jax.jit(fn)(jnp.asarray(volume, jnp.float32),
+                       jnp.asarray(tf, jnp.float32),
+                       jnp.asarray(look_from, jnp.float32))

@@ -28,11 +28,12 @@ import jax.numpy as jnp
 
 from .config import RenderConfig
 from .geometry import RayBundle, MarchParams, make_rays, march_params
-from .sampling import (apply_tf, apply_tf_hat_soa, apply_tf_soa, cell_table,
+from .sampling import (apply_tf, apply_tf_dot_soa, apply_tf_soa, cell_table,
                        sample_cell_analytic, sample_cell_parity,
                        sample_soa_analytic, sample_soa_parity,
+                       sample_super_analytic, sample_super_parity,
                        sample_with_gradient, sample_with_gradient_analytic,
-                       tf_table8)
+                       supercell_table, tf_table8)
 from .shading import shade, shade_soa
 
 Array = jax.Array
@@ -171,35 +172,66 @@ def _ray_soa(rays: RayBundle, params: MarchParams) -> _RaySoA:
 
 
 def _prep_volume(volume: Array, config: RenderConfig):
-    """March-ready volume operand: the (X*Y*Z, 8) cell table (default; one
-    row gather per trilinear sample) or the flat volume (``cell_gather=
-    False`` — 8x less memory, ~8x slower sampling; for volumes whose cell
-    table would not fit HBM)."""
-    return cell_table(volume) if config.cell_gather else volume.reshape(-1)
+    """March-ready volume operand per ``config.resolved_march_table()``:
+    the (X*Y*Z, 64) supercell table (default where it fits — 64-wide rows
+    gather at ~10.5 ns/idx vs 14.8 for 8-wide cell rows on this stack, and
+    one row serves the whole parity stencil / a group of consecutive
+    steps), the (X*Y*Z, 8) cell table, or the flat volume (8x/64x less
+    memory, more gather indices)."""
+    kind = config.resolved_march_table()
+    if kind == "super64":
+        return kind, supercell_table(volume)
+    if kind == "cell8":
+        return kind, cell_table(volume)
+    return "flat", volume.reshape(-1)
 
 
 def _prep_tf(tf: Array, config: RenderConfig):
     """March-ready TF operand: the raw (R, 4) texture for the gather-free
-    hat expansion (R <= 256), else the (R*8,) low/high gather table."""
-    return tf if tf.shape[0] <= 256 else tf_table8(tf)
+    MXU-dot lookup (R <= 1024 — cost is O(R) VPU weight-build per sample),
+    else the (R*8,) low/high gather table."""
+    return tf if tf.shape[0] <= 1024 else tf_table8(tf)
 
 
 def _eval_block_soa(vol_op, tf_op, origin, soa: _RaySoA, steps, sampling_rate,
-                    config: RenderConfig, clamp_light: bool):
+                    config: RenderConfig, clamp_light: bool,
+                    super_group: int = 1, tiled_volume=None,
+                    n_tiles: int = 1):
     """Evaluate K march steps, SoA.  Gather budget per block (the dominant
-    cost on this stack is per-INDEX, see experiments/): ONE cell-row gather
-    per sample for value+analytic gradient (7 rows in parity-normals mode),
-    ZERO gathers for the TF (hat expansion) at R <= 256.
+    cost on this stack is per-INDEX with strong table-size/row-width
+    effects, see experiments/row_scatter_results.jsonl): with the default
+    supercell table, ONE 64-wide row gather per ``super_group`` samples
+    (analytic mode) or per sample incl. the full 7-point parity stencil;
+    ZERO gathers for the TF (MXU-dot lookup) at R <= 1024.
 
     ``vol_op``/``tf_op`` come from :func:`_prep_volume`/:func:`_prep_tf`.
     Returns premultiplied channels (pr, pg, pb, alpha), the raw TF alpha,
     and the in-range mask — all (K, N).
     """
+    kind, vol_op = vol_op
     t = soa.t0[None] + steps[:, None].astype(jnp.float32) * soa.dt[None]
     px = origin[0] + t * soa.dx[None]                       # (K, N)
     py = origin[1] + t * soa.dy[None]
     pz = origin[2] + t * soa.dz[None]
-    if config.cell_gather:
+    if kind == "super64" and tiled_volume is not None:
+        from .sampling import SampleSpec, sample_block_tiled
+        spec = SampleSpec(volume_shape=tuple(config.volume_shape),
+                          delta=float(config.normal_delta),
+                          group=(super_group if config.analytic_normals
+                                 else 1),
+                          parity=not config.analytic_normals,
+                          n_tiles=n_tiles, box=config.vjp_box)
+        _tiled_fn = functools.partial(sample_block_tiled, spec, tiled_volume)
+
+        def sample(tbl, _shape, px_, py_, pz_, _delta):
+            return _tiled_fn(tbl, px_, py_, pz_)
+    elif kind == "super64":
+        if config.analytic_normals:
+            sample = functools.partial(sample_super_analytic,
+                                       group=super_group)
+        else:
+            sample = sample_super_parity
+    elif kind == "cell8":
         sample = (sample_cell_analytic if config.analytic_normals
                   else sample_cell_parity)
     else:
@@ -219,7 +251,7 @@ def _eval_block_soa(vol_op, tf_op, origin, soa: _RaySoA, steps, sampling_rate,
     gy = name(gy, "march_gy")
     gz = name(gz, "march_gz")
     if tf_op.ndim == 2:
-        r, g, b, a = apply_tf_hat_soa(tf_op, intensity)
+        r, g, b, a = apply_tf_dot_soa(tf_op, intensity)
     else:
         r, g, b, a = apply_tf_soa(tf_op, intensity)
     pr, pg, pb, alpha = shade_soa(
@@ -302,16 +334,57 @@ def march_diff(
     n_blocks = -(-n_steps // block)
 
     sr = jnp.asarray(sampling_rate, jnp.float32)
-    soa = _ray_soa(rays, params)
-    vol_op = _prep_volume(volume, config)
+    kind = config.resolved_march_table()
+    tiled = config.march_vjp == "tiled"
+    if tiled and (kind != "super64" or H % config.vjp_tile
+                  or W % config.vjp_tile):
+        raise ValueError(
+            "march_vjp='tiled' requires march_table super64 and image dims "
+            f"divisible by vjp_tile={config.vjp_tile}; got table={kind}, "
+            f"image={config.image_shape}")
+
+    if tiled:
+        # Tile-major pixel order: the hand-written VJP scatters volume
+        # gradients per image tile (see sampling.sample_block_tiled), so
+        # each tile's rays must be contiguous in the flat N axis.
+        te = config.vjp_tile
+        n_tiles = (H // te) * (W // te)
+
+        def _fwdord(a2d):
+            return a2d.reshape(H // te, te, W // te, te).transpose(
+                0, 2, 1, 3).reshape(N)
+
+        def _invord(a1d):
+            return a1d.reshape(H // te, W // te, te, te).transpose(
+                0, 2, 1, 3).reshape(H, W)
+
+        soa = _RaySoA(
+            dx=_fwdord(rays.dirs[..., 0]), dy=_fwdord(rays.dirs[..., 1]),
+            dz=_fwdord(rays.dirs[..., 2]), t0=_fwdord(params.t0),
+            dt=_fwdord(params.dt), n_samples=_fwdord(rays.n_samples))
+    else:
+        n_tiles = 1
+        _invord = None
+        soa = _ray_soa(rays, params)
+
+    kind_op, vol_op = _prep_volume(volume, config)
+    if tiled:
+        # All volume gradients come from the custom VJP; sever the AD path
+        # through the table construction.
+        vol_op = jax.lax.stop_gradient(vol_op)
     tf_op = _prep_tf(tf, config)
+
+    grp = config.supercell_group(static_sampling_rate)
+    while block % grp:
+        grp //= 2
 
     def block_fn(carry, s0):
         accs, cnt = carry
         steps = s0 + jnp.arange(block, dtype=jnp.int32)
         pr, pg, pb, pa, _, in_range = _eval_block_soa(
-            vol_op, tf_op, rays.origin, soa, steps, sr, config,
-            clamp_light=True)
+            (kind_op, vol_op), tf_op, rays.origin, soa, steps, sr, config,
+            clamp_light=True, super_group=grp,
+            tiled_volume=volume if tiled else None, n_tiles=n_tiles)
         accs, cnt, _ = composite_block_soa(accs, cnt, pr, pg, pb, pa,
                                            in_range, config, ert=ert)
         return (accs, cnt), None
@@ -331,6 +404,9 @@ def march_diff(
     cnt0 = jnp.ones((N,), jnp.int32)   # init 1, see `clear_framebuffer` `:381`
     starts = jnp.arange(n_blocks, dtype=jnp.int32) * block
     (accs, cnt), _ = jax.lax.scan(block_fn, (accs0, cnt0), starts)
+    if tiled:
+        acc = jnp.stack([_invord(a) for a in accs], axis=-1)
+        return acc, _invord(cnt)
     acc = jnp.stack(accs, axis=-1).reshape(H, W, 4)
     return acc, cnt.reshape(H, W)
 
@@ -373,12 +449,16 @@ def march_nondiff(
                        & (soa.n_samples > b * block))
         return (b < n_blocks) & jnp.any(maybe_alive)
 
+    grp = config.supercell_group(static_sampling_rate)
+    while block % grp:
+        grp //= 2
+
     def body_fn(state):
         accs, b = state
         steps = b * block + jnp.arange(block, dtype=jnp.int32)
         pr, pg, pb, pa, tf_alpha, _ = _eval_block_soa(
             vol_op, tf_op, rays.origin, soa, steps, sr, config,
-            clamp_light=False)
+            clamp_light=False, super_group=grp)
         # NOTE: the nondiff kernel has no max_samples cap (`:316`), so use
         # the pure n_samples gate rather than _eval_block_soa's in_range.
         in_range = steps[:, None] < soa.n_samples[None]

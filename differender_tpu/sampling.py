@@ -15,6 +15,8 @@ TF texture.
 """
 from __future__ import annotations
 
+import functools as _functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -440,6 +442,383 @@ def sample_cell_parity(cell: Array, volume_shape, px, py, pz,
     return tri[0], (tri[1] - tri[2], tri[3] - tri[4], tri[5] - tri[6])
 
 
+# ---------------------------------------------------------------------------
+# Supercell table: 4x4x4 grid-point rows — multiple trilinear evaluations
+# (stencil points or consecutive march samples) share ONE row gather.
+# Motivation (experiments/row_scatter_results.jsonl): gather AND scatter on
+# this stack are priced per-INDEX with a strong table-size dependence, so
+# fetching 64-wide rows that serve several samples beats narrow rows 1:1
+# with samples.  Costs 64x the volume in memory — gate by size.
+# ---------------------------------------------------------------------------
+
+# lane-offset patterns of the flattened 4x4x4 row (x-major)
+_OX4 = (np.arange(64, dtype=np.int32) // 16).astype(np.float32)
+_OY4 = ((np.arange(64, dtype=np.int32) // 4) % 4).astype(np.float32)
+_OZ4 = (np.arange(64, dtype=np.int32) % 4).astype(np.float32)
+_OX4I = _OX4.astype(np.int32)
+_OY4I = _OY4.astype(np.int32)
+_OZ4I = _OZ4.astype(np.int32)
+
+
+def supercell_table(volume: Array) -> Array:
+    """(X*Y*Z, 64) table: row (x,y,z) holds the 4x4x4 grid-point
+    neighborhood ``[x..x+3] x [y..y+3] x [z..z+3]`` (clamped at the upper
+    boundary, matching the reference's high-index clamp
+    `/root/reference/differender/volume_raycaster.py:170-172`), flattened
+    x-major.  64x volume memory."""
+    def shift(v, ax, m):
+        if m == 0:
+            return v
+        n = v.shape[ax]
+        tail = jax.lax.slice_in_dim(v, n - 1, n, axis=ax)
+        reps = jnp.concatenate([tail] * m, axis=ax)
+        return jnp.concatenate(
+            [jax.lax.slice_in_dim(v, m, n, axis=ax), reps], axis=ax)
+
+    rows = []
+    for ox in range(4):
+        vx = shift(volume, 0, ox)
+        for oy in range(4):
+            vy = shift(vx, 1, oy)
+            for oz in range(4):
+                rows.append(shift(vy, 2, oz).reshape(-1))
+    return jnp.stack(rows, axis=-1)
+
+
+def _hat4(pat: np.ndarray, u: Array) -> Array:
+    """(M, 64) linear-interp weights on local coords ``u`` (M, 1) against
+    the integer lane pattern ``pat`` (64,): ``max(0, 1 - |u - pat|)``.
+    Two nonzero lanes; bit-identical to the floor/frac two-term lerp."""
+    return jnp.maximum(0.0, 1.0 - jnp.abs(u - pat[None]))
+
+
+def _dhat4(pat: np.ndarray, u: Array) -> Array:
+    """(M, 64) analytic in-cell derivative weights: ``-1`` at lane
+    ``floor(u)``, ``+1`` at ``floor(u)+1`` (floor form — matches
+    :func:`sample_cell_analytic`'s ``2*bit - 1`` exactly, including at
+    integer coordinates where the hat subgradient would differ)."""
+    lo = jnp.floor(u)
+    ip = pat[None]
+    return jnp.where(ip == lo + 1.0, 1.0, 0.0) - jnp.where(ip == lo, 1.0,
+                                                           0.0)
+
+
+def _super_axis(p: Array, size: int, dshift):
+    """Clamped voxel coordinate of ``p`` shifted by ``dshift`` (world)."""
+    scale = np.float32(size - 1.0 - 1e-4)
+    return jnp.clip(0.5 * (p + dshift) + 0.5, 0.0, 1.0) * scale
+
+
+def sample_super_parity(table: Array, volume_shape, px, py, pz,
+                        delta: float = 1e-3):
+    """Full-parity central-difference sampling from ONE 64-wide row gather
+    per sample (vs 7 rows for :func:`sample_cell_parity`): the whole
+    7-point stencil's corners fit in the 4^3 neighborhood because the
+    stencil radius ``delta*(size-1)`` is < 1 voxel.
+
+    Same math/values as :func:`sample_cell_parity`.
+    Returns: intensity (...,), (gx, gy, gz) (...,).
+    """
+    X, Y, Z = volume_shape
+    d = np.float32(delta)
+    sh = px.shape
+    M = int(np.prod(sh))
+
+    def axis(p, size):
+        v0 = _super_axis(p, size, 0.0).reshape(M, 1)
+        vp = _super_axis(p, size, d).reshape(M, 1)
+        vm = _super_axis(p, size, -d).reshape(M, 1)
+        b = jnp.floor(vm)                       # min of the three cells
+        return b, v0 - b, vp - b, vm - b        # local coords in [0, 2)
+
+    bx, ux0, uxp, uxm = axis(px, X)
+    by, uy0, uyp, uym = axis(py, Y)
+    bz, uz0, uzp, uzm = axis(pz, Z)
+    base = ((bx * Y + by) * Z + bz).astype(jnp.int32)[:, 0]
+    rows = jnp.take(table, base, axis=0)                      # (M, 64)
+
+    ax0, axp, axm = (_hat4(_OX4, u) for u in (ux0, uxp, uxm))
+    ay0, ayp, aym = (_hat4(_OY4, u) for u in (uy0, uyp, uym))
+    az0, azp, azm = (_hat4(_OZ4, u) for u in (uz0, uzp, uzm))
+
+    r0 = rows * (ay0 * az0)
+    i0 = jnp.sum(r0 * ax0, axis=-1)
+    ixp = jnp.sum(r0 * axp, axis=-1)
+    ixm = jnp.sum(r0 * axm, axis=-1)
+    q = rows * ax0
+    iyp = jnp.sum(q * (ayp * az0), axis=-1)
+    iym = jnp.sum(q * (aym * az0), axis=-1)
+    izp = jnp.sum(q * (ay0 * azp), axis=-1)
+    izm = jnp.sum(q * (ay0 * azm), axis=-1)
+    return (i0.reshape(sh), ((ixp - ixm).reshape(sh),
+                             (iyp - iym).reshape(sh),
+                             (izp - izm).reshape(sh)))
+
+
+def sample_super_analytic(table: Array, volume_shape, px, py, pz,
+                          delta: float = 1e-3, group: int = 1):
+    """Intensity + analytic in-cell gradient via the supercell table, with
+    ``group`` consecutive march steps sharing ONE row gather (cuts gather
+    indices ``group``-fold; validity bound in
+    :meth:`RenderConfig.supercell_group` — consecutive samples' cells must
+    stay within the row's 3-cell span).
+
+    Args: px/py/pz (K, N) with ``K % group == 0`` (step-major).
+    Same math/values as :func:`sample_cell_analytic`.
+    """
+    X, Y, Z = volume_shape
+    K, N = px.shape
+    assert K % group == 0, (K, group)
+    G = group
+    Mg = (K // G) * N
+    sc = [np.float32(delta * (s - 1.0 - 1e-4)) for s in (X, Y, Z)]
+
+    def axis(p, size):
+        v = _super_axis(p, size, 0.0).reshape(K // G, G, N)
+        b = jnp.floor(jnp.min(v, axis=1))                     # (K/G, N)
+        return b, v - b[:, None]                              # local [0,3)
+
+    bx, ux = axis(px, X)
+    by, uy = axis(py, Y)
+    bz, uz = axis(pz, Z)
+    base = ((bx * Y + by) * Z + bz).astype(jnp.int32).reshape(Mg)
+    rows = jnp.take(table, base, axis=0)                      # (Mg, 64)
+
+    outs = []
+    for m in range(G):
+        uxm = ux[:, m].reshape(Mg, 1)
+        uym = uy[:, m].reshape(Mg, 1)
+        uzm = uz[:, m].reshape(Mg, 1)
+        axv, dax = _hat4(_OX4, uxm), _dhat4(_OX4, uxm)
+        ayv, day = _hat4(_OY4, uym), _dhat4(_OY4, uym)
+        azv, daz = _hat4(_OZ4, uzm), _dhat4(_OZ4, uzm)
+        r0 = rows * (ayv * azv)
+        i0 = jnp.sum(r0 * axv, axis=-1)
+        gx = jnp.sum(r0 * dax, axis=-1) * sc[0]
+        q = rows * axv
+        gy = jnp.sum(q * (day * azv), axis=-1) * sc[1]
+        gz = jnp.sum(q * (ayv * daz), axis=-1) * sc[2]
+        outs.append((i0, gx, gy, gz))
+
+    def regroup(vals):                                        # G x (Mg,)
+        stacked = jnp.stack(vals, axis=1)                     # (K/G, G*? ...)
+        return stacked.reshape(K // G, G, N).reshape(K, N)
+
+    intensity = regroup([o[0].reshape(K // G, N) for o in outs])
+    gxs = regroup([o[1].reshape(K // G, N) for o in outs])
+    gys = regroup([o[2].reshape(K // G, N) for o in outs])
+    gzs = regroup([o[3].reshape(K // G, N) for o in outs])
+    return intensity, (gxs, gys, gzs)
+
+
+# ---------------------------------------------------------------------------
+# Hand-written march-sampling VJP (SURVEY §7 step 4 / hard part 1): the
+# reverse of the Taichi-generated `raycast.grad`'s volume scatter
+# (`/root/reference/differender/volume_raycaster.py:460-461`), re-designed
+# for TPU scatter pricing.  Measured (experiments/row_scatter_results.jsonl):
+# XLA scatter-add into large tables costs ~60-190 ns/row regardless of
+# sortedness, but ~7-15 ns/row into cache-resident tables <= ~4 MB.  So the
+# backward scatters per IMAGE TILE into a small box-local supercell table
+# (samples of one tile x step-block are spatially confined), quad-combining
+# each sample group's 8 corner cotangents into ONE 64-wide row, then folds
+# the box into d_volume with 64 static shifted adds + one dynamic-slice add.
+# No atomics, no big-table scatter; camera cotangents are not produced
+# (positions get zero grads — the reference has no camera gradients either).
+# ---------------------------------------------------------------------------
+from typing import NamedTuple as _NamedTuple
+
+
+class SampleSpec(_NamedTuple):
+    """Hashable statics for :func:`sample_block_tiled`."""
+
+    volume_shape: tuple       # (X, Y, Z)
+    delta: float              # normal_delta
+    group: int                # samples per supercell row (analytic mode)
+    parity: bool              # central-difference (7-point) normals
+    n_tiles: int              # image tiles per block (N must be tile-major)
+    box: int                  # box edge BV in supercell-base units
+
+
+def _tiled_volume_grad(spec: SampleSpec, bx, by, bz, d_rows, kg):
+    """Scatter supercell-row cotangents into d_volume, tile by tile.
+
+    Args:
+        bx/by/bz: (KG, T*P) int32 per-axis supercell base coordinates
+            (KG = steps-per-block / group; the trailing axis is TILE-MAJOR:
+            tile t owns columns [t*P, (t+1)*P)).
+        d_rows: (KG, T*P, 64) cotangents in the 4x4x4 row basis.
+        kg: KG (static).
+    Returns d_volume (X, Y, Z).
+
+    Per tile: one scatter of KG*P rows into a small ((BVx*BVy*BVz), 64)
+    box-local table (<= ~8 MB => ~7-10 ns/row, measured — the whole point;
+    default box 32 => 8 MB), a 64-way static shifted-add unfold into a
+    (BV+3)^3 voxel box, and one dynamic-slice add into d_volume.  Boxes are
+    clamped into the volume; geometry guarantees containment for the
+    march's tile/block sizes (and when the volume is smaller than the box,
+    the box IS the volume and the tiling degenerates to exact global
+    accumulation).  Out-of-box bases (pathological cameras / oversized
+    tiles) are CLAMPED — callers must respect the documented validity
+    domain (see RenderConfig.march_vjp).
+    """
+    X, Y, Z = spec.volume_shape
+    T = spec.n_tiles
+    P = bx.shape[1] // T
+    # Local box must cover all BASE coordinates of a tile's rows: bases
+    # range [0, size-2], so cap at size-1 (the +3 apron may then overhang
+    # the volume — safe: lanes referencing voxels >= size carry exactly
+    # zero weight by the clamped-cell construction, and are dropped by the
+    # window clip below).
+    BVx = min(spec.box, max(X - 1, 1))
+    BVy = min(spec.box, max(Y - 1, 1))
+    BVz = min(spec.box, max(Z - 1, 1))
+
+    bx3 = bx.reshape(kg, T, P)
+    by3 = by.reshape(kg, T, P)
+    bz3 = bz.reshape(kg, T, P)
+    rows3 = d_rows.reshape(kg, T, P, 64)
+
+    def tile_body(t, d_vol):
+        tbx = jax.lax.dynamic_slice_in_dim(bx3, t, 1, axis=1)[:, 0]
+        tby = jax.lax.dynamic_slice_in_dim(by3, t, 1, axis=1)[:, 0]
+        tbz = jax.lax.dynamic_slice_in_dim(bz3, t, 1, axis=1)[:, 0]
+        trw = jax.lax.dynamic_slice_in_dim(rows3, t, 1, axis=1)[:, 0]
+        trw = trw.reshape(kg * P, 64)
+        # Origin so that every base in the tile lands in [0, BV-1]; the
+        # +3 voxel apron may overhang the (padded) accumulator.
+        ox = jnp.clip(jnp.min(tbx), 0, max(X - BVx, 0))
+        oy = jnp.clip(jnp.min(tby), 0, max(Y - BVy, 0))
+        oz = jnp.clip(jnp.min(tbz), 0, max(Z - BVz, 0))
+        lx = jnp.clip(tbx.reshape(-1) - ox, 0, BVx - 1)
+        ly = jnp.clip(tby.reshape(-1) - oy, 0, BVy - 1)
+        lz = jnp.clip(tbz.reshape(-1) - oz, 0, BVz - 1)
+        li = (lx * BVy + ly) * BVz + lz                    # (kg*P,)
+        tbl = jnp.zeros((BVx * BVy * BVz, 64), jnp.float32).at[li].add(trw)
+        tbl = tbl.reshape(BVx, BVy, BVz, 64)
+        out = jnp.zeros((BVx + 3, BVy + 3, BVz + 3), jnp.float32)
+        for cx in range(4):
+            for cy in range(4):
+                for cz in range(4):
+                    out = out.at[cx:cx + BVx, cy:cy + BVy,
+                                 cz:cz + BVz].add(
+                        tbl[..., (cx * 4 + cy) * 4 + cz])
+        cur = jax.lax.dynamic_slice(d_vol, (ox, oy, oz),
+                                    (BVx + 3, BVy + 3, BVz + 3))
+        return jax.lax.dynamic_update_slice(d_vol, cur + out, (ox, oy, oz))
+
+    # Accumulate into an apron-padded buffer: rows at bases near the upper
+    # boundary have lanes whose nominal voxel b+o exceeds size-1; those
+    # lanes carry exactly zero cotangent (clamped-cell construction => zero
+    # weight), so the pad rows collect only zeros and are sliced off.
+    d_vol0 = jnp.zeros((X + 3, Y + 3, Z + 3), jnp.float32)
+    d_pad = jax.lax.fori_loop(0, T, tile_body, d_vol0)
+    return d_pad[:X, :Y, :Z]
+
+
+@_functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def sample_block_tiled(spec: SampleSpec, volume, table, px, py, pz):
+    """Supercell sampling with the hand-written tiled-scatter VJP.
+
+    Forward = :func:`sample_super_analytic` / :func:`sample_super_parity`
+    (``volume`` is unused — the cotangent target only).  Backward returns
+    d_volume directly (see :func:`_tiled_volume_grad`) and ZERO cotangents
+    for table and positions: no camera gradients on this path (parity with
+    the reference, whose Taichi autodiff also never differentiates
+    ``compute_entry_exit``).  Callers pass ``table = stop_gradient(
+    supercell_table(volume))`` so no AD path through the table remains.
+    """
+    if spec.parity:
+        return sample_super_parity(table, spec.volume_shape, px, py, pz,
+                                   spec.delta)
+    return sample_super_analytic(table, spec.volume_shape, px, py, pz,
+                                 spec.delta, group=spec.group)
+
+
+def _sample_block_tiled_fwd(spec, volume, table, px, py, pz):
+    out = sample_block_tiled(spec, volume, table, px, py, pz)
+    return out, (px, py, pz)
+
+
+def _sample_block_tiled_bwd(spec, res, cot):
+    px, py, pz = res
+    d_int, (d_gx, d_gy, d_gz) = cot
+    X, Y, Z = spec.volume_shape
+    K, N = px.shape
+    d = np.float32(spec.delta)
+
+    if spec.parity:
+        def axis(p, size):
+            v0 = _super_axis(p, size, 0.0).reshape(-1, 1)
+            vp = _super_axis(p, size, d).reshape(-1, 1)
+            vm = _super_axis(p, size, -d).reshape(-1, 1)
+            b = jnp.floor(vm)
+            return b, v0 - b, vp - b, vm - b
+
+        bx, ux0, uxp, uxm = axis(px, X)
+        by, uy0, uyp, uym = axis(py, Y)
+        bz, uz0, uzp, uzm = axis(pz, Z)
+        ax0, axp, axm = (_hat4(_OX4, u) for u in (ux0, uxp, uxm))
+        ay0, ayp, aym = (_hat4(_OY4, u) for u in (uy0, uyp, uym))
+        az0, azp, azm = (_hat4(_OZ4, u) for u in (uz0, uzp, uzm))
+        ci = d_int.reshape(-1, 1)
+        cx = d_gx.reshape(-1, 1)
+        cy = d_gy.reshape(-1, 1)
+        cz = d_gz.reshape(-1, 1)
+        d_rows = ((ay0 * az0) * (ci * ax0 + cx * (axp - axm))
+                  + ax0 * (az0 * (cy * (ayp - aym))
+                           + ay0 * (cz * (azp - azm))))
+        kg = K
+        d_rows = d_rows.reshape(kg, N, 64)
+        bx = bx.reshape(kg, N).astype(jnp.int32)
+        by = by.reshape(kg, N).astype(jnp.int32)
+        bz = bz.reshape(kg, N).astype(jnp.int32)
+    else:
+        G = spec.group
+        kg = K // G
+        Mg = kg * N
+        sc = [np.float32(spec.delta * (s - 1.0 - 1e-4)) for s in (X, Y, Z)]
+
+        def axis(p, size):
+            v = _super_axis(p, size, 0.0).reshape(kg, G, N)
+            b = jnp.floor(jnp.min(v, axis=1))
+            return b, v - b[:, None]
+
+        bxg, ux = axis(px, X)
+        byg, uy = axis(py, Y)
+        bzg, uz = axis(pz, Z)
+        ci = d_int.reshape(kg, G, N)
+        cgx = d_gx.reshape(kg, G, N) * sc[0]
+        cgy = d_gy.reshape(kg, G, N) * sc[1]
+        cgz = d_gz.reshape(kg, G, N) * sc[2]
+        d_rows = jnp.zeros((Mg, 64), jnp.float32)
+        for m in range(G):
+            uxm = ux[:, m].reshape(Mg, 1)
+            uym = uy[:, m].reshape(Mg, 1)
+            uzm = uz[:, m].reshape(Mg, 1)
+            axv, dax = _hat4(_OX4, uxm), _dhat4(_OX4, uxm)
+            ayv, day = _hat4(_OY4, uym), _dhat4(_OY4, uym)
+            azv, daz = _hat4(_OZ4, uzm), _dhat4(_OZ4, uzm)
+            cim = ci[:, m].reshape(Mg, 1)
+            cxm = cgx[:, m].reshape(Mg, 1)
+            cym = cgy[:, m].reshape(Mg, 1)
+            czm = cgz[:, m].reshape(Mg, 1)
+            d_rows = d_rows + ((ayv * azv) * (cim * axv + cxm * dax)
+                               + axv * (azv * (cym * day)
+                                        + ayv * (czm * daz)))
+        d_rows = d_rows.reshape(kg, N, 64)
+        bx = bxg.astype(jnp.int32)
+        by = byg.astype(jnp.int32)
+        bz = bzg.astype(jnp.int32)
+
+    d_volume = _tiled_volume_grad(spec, bx, by, bz, d_rows, kg)
+    zero_tbl = jnp.zeros((X * Y * Z, 64), jnp.float32)
+    zp = jnp.zeros_like(px)
+    return d_volume, zero_tbl, zp, zp, zp
+
+
+sample_block_tiled.defvjp(_sample_block_tiled_fwd, _sample_block_tiled_bwd)
+
+
 def apply_tf_hat_soa(tf: Array, intensity: Array):
     """Gather-free TF lerp, SoA channels: the unrolled hat-basis expansion
     ``sum_i max(0, 1 - |t - i|) * tf[i]`` with ``t = clip(x*(R-1), 0, R-1)``.
@@ -525,6 +904,99 @@ def apply_tf_hat(tf: Array, intensity: Array) -> Array:
 
     acc0 = jnp.zeros(intensity.shape + (4,), jnp.float32)
     return jax.lax.fori_loop(0, R, body, acc0)
+
+
+@_functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _apply_tf_dot_p(precision, tf, intensity):
+    R = tf.shape[0]
+    t = jnp.clip(intensity * (R - 1.0), 0.0, R - 1.0)
+    shape = t.shape
+    tcol = t.reshape(-1, 1)
+    idx = np.arange(R, dtype=np.float32)
+    w = jnp.maximum(0.0, 1.0 - jnp.abs(tcol - idx))      # (M, R)
+    out = jnp.dot(w, tf, precision=precision,
+                  preferred_element_type=jnp.float32)
+    return out.reshape(shape + (4,))
+
+
+def _apply_tf_dot_fwd(precision, tf, intensity):
+    return _apply_tf_dot_p(precision, tf, intensity), (tf, intensity)
+
+
+def _apply_tf_dot_bwd(precision, res, g):
+    """Hand-written VJP: both cotangents as MXU dots against rebuilt
+    weights — no (M, R) cotangent-weight materialization (the AD form
+    computes ``dW = g @ tf^T`` then sign/mask/reduce elementwise passes).
+
+    AD-equivalent by case analysis: at interior non-integer t the hat has
+    two active lanes => d_t = g . (tf[lo+1] - tf[lo]); at integer t
+    (including the clip boundaries t=0 / t=R-1 reached by clamping) the
+    max(0, .) picks the zero branch on the +-1 lanes and sign(0)=0 on the
+    center lane => d_t = 0, reproduced by the ``frac > 0`` mask (and
+    tfd[R-1] = 0 for the upper boundary).
+    """
+    tf, intensity = res
+    R = tf.shape[0]
+    t = jnp.clip(intensity * (R - 1.0), 0.0, R - 1.0)
+    tcol = t.reshape(-1, 1)
+    gm = g.reshape(-1, 4)
+    idx = np.arange(R, dtype=np.float32)
+    w = jnp.maximum(0.0, 1.0 - jnp.abs(tcol - idx))      # (M, R)
+    d_tf = jnp.einsum("mr,mc->rc", w, gm,
+                      precision=precision,
+                      preferred_element_type=jnp.float32)
+    lo = jnp.floor(tcol)
+    frac = tcol - lo
+    tfd = jnp.concatenate([tf[1:] - tf[:-1],
+                           jnp.zeros((1, 4), tf.dtype)], axis=0)
+    box = jnp.where(lo == idx, 1.0, 0.0)                 # (M, R)
+    dvec = jnp.dot(box, tfd, precision=precision,
+                   preferred_element_type=jnp.float32)   # (M, 4)
+    d_t = jnp.sum(dvec * gm, axis=-1, keepdims=True)
+    d_t = jnp.where(frac > 0.0, d_t, 0.0)
+    d_int = (d_t[:, 0] * np.float32(R - 1.0)).reshape(intensity.shape)
+    return d_tf, d_int
+
+
+_apply_tf_dot_p.defvjp(_apply_tf_dot_fwd, _apply_tf_dot_bwd)
+
+
+def apply_tf_dot(tf: Array, intensity: Array,
+                 precision=jax.lax.Precision.HIGHEST) -> Array:
+    """TF lerp as an MXU dot: hat weights ``W (N, R)`` built with 4 fused
+    VPU ops per element, then ``W @ tf`` on the MXU.
+
+    At ``precision=HIGHEST`` this is value-identical to :func:`apply_tf`
+    for in-range intensities (at most two nonzero hat weights; f32 dot
+    accumulation of exact zeros preserves the two-term lerp).  Lower
+    precisions round the hat weights/texels to bf16 passes (weight error
+    <= 2^-9) — a speed knob for the approximate shear-warp path, whose
+    slab quadrature error dominates that rounding.  Measured on TPU v5e at
+    the shear-warp headline config the dot form is substantially faster
+    than the unrolled hat expansion, especially backward (the R-term
+    accumulate chain becomes one matmul whose adjoint is also a matmul);
+    see experiments/fastpath_profile_results.jsonl.
+
+    Gradients flow through a hand-written VJP (two MXU dots against
+    rebuilt hat/box weights; see ``_apply_tf_dot_bwd``).
+    """
+    return _apply_tf_dot_p(precision, tf, intensity)
+
+
+def apply_tf_dot_soa(tf: Array, intensity: Array,
+                     precision=jax.lax.Precision.HIGHEST):
+    """SoA-channel :func:`apply_tf_dot` — the exact march's TF lookup.
+
+    Bit-identical to :func:`apply_tf` at HIGHEST precision (the default
+    here: the exact path promises bit-parity).  Measured (fwd_ablate in
+    experiments/row_scatter_results.jsonl): the unrolled hat expansion
+    costs 67 ms per (32, 512^2) march block at R=128 — 30% of the whole
+    forward — because its R-term accumulate chain is VPU-serial; the dot
+    form moves the accumulation to the MXU.
+    Returns (r, g, b, a) each shaped like ``intensity``.
+    """
+    out = apply_tf_dot(tf, intensity, precision=precision)
+    return out[..., 0], out[..., 1], out[..., 2], out[..., 3]
 
 
 def apply_tf(tf: Array, intensity: Array) -> Array:

@@ -2,6 +2,7 @@
 finite differences of the float64 NumPy oracle (SURVEY §4, implication (3);
 target <= 1e-3 per BASELINE.md)."""
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -136,3 +137,43 @@ def test_camera_grads_exist(sphere_volume):
     g = jax.grad(loss_fn)(jnp.array([1.0, 0.7, 2.2]))
     assert np.isfinite(np.asarray(g)).all()
     assert float(jnp.abs(g).max()) > 0.0
+
+
+class TestTiledVJP:
+    """march_vjp='tiled' (hand-written per-tile volume-grad scatter) ==
+    march_vjp='ad' for image, volume grads, and TF grads.  Image is
+    bit-exact (the tile-major reorder round-trips); grads match up to f32
+    summation-order noise."""
+
+    @pytest.mark.parametrize("analytic", [True, False])
+    @pytest.mark.parametrize("hw", [(16, 16), (32, 32)])
+    def test_matches_ad(self, sphere_volume, analytic, hw):
+        vol = jnp.asarray(sphere_volume)
+        tf = jnp.asarray(get_tf("tf5", 16))
+        lf = jnp.asarray(np.array([1.3, 0.7, 2.1], np.float32))
+        w = jnp.asarray(np.random.default_rng(3).random(
+            hw + (4,), np.float32))
+        key = jax.random.PRNGKey(7)
+        cfg_ad = RenderConfig(volume_shape=vol.shape, image_shape=hw,
+                              max_samples=48, block_size=8,
+                              analytic_normals=analytic,
+                              march_table="super64", march_vjp="ad")
+        cfg_t = cfg_ad.replace(march_vjp="tiled")
+
+        def loss(cfg):
+            return lambda v, t: jnp.sum(render(
+                v, t, lf, cfg, sampling_rate=0.7, key=key).image * w)
+
+        img_a = render(vol, tf, lf, cfg_ad, sampling_rate=0.7, key=key).image
+        img_t = render(vol, tf, lf, cfg_t, sampling_rate=0.7, key=key).image
+        np.testing.assert_allclose(np.asarray(img_t), np.asarray(img_a),
+                                   atol=1e-6)
+        gv_a, gt_a = jax.grad(loss(cfg_ad), argnums=(0, 1))(vol, tf)
+        gv_t, gt_t = jax.grad(loss(cfg_t), argnums=(0, 1))(vol, tf)
+        sv = float(jnp.abs(gv_a).max())
+        st = float(jnp.abs(gt_a).max())
+        np.testing.assert_allclose(np.asarray(gv_t), np.asarray(gv_a),
+                                   atol=2e-3 * max(sv, 1e-9))
+        np.testing.assert_allclose(np.asarray(gt_t), np.asarray(gt_a),
+                                   atol=2e-3 * max(st, 1e-9))
+

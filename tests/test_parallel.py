@@ -148,3 +148,121 @@ def test_volume_sharded_segment_window(sphere_volume):
     want = render(sphere_volume, tf, lf, cfg, sampling_rate=0.6, ert=False)
     np.testing.assert_allclose(np.asarray(out.image), np.asarray(want.image),
                                atol=1e-4)
+
+
+def test_views_x_space_combined_grads_match(sphere_volume):
+    """Combined 2x4 views x space mesh: one SPMD step's loss and gradients
+    match the single-device computation (the `dryrun_multichip` topology,
+    verified for numerics rather than just loss decrease)."""
+    import functools
+    from differender_tpu.geometry import RayBundle, make_rays
+    from differender_tpu.parallel import segment_render, segment_length
+
+    cfg = _cfg(sphere_volume.shape, hw=(5, 5), max_samples=32)
+    tf = jnp.asarray(get_tf("tf5", 16))
+    vol = jnp.asarray(sphere_volume)
+    sr = 0.6
+    length, block = segment_length(cfg, sr)
+    dv, ds = 2, 4
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(dv, ds),
+                ("views", "space"))
+
+    n_views = 4   # 2 per views-device
+    # Generic (off-axis) cameras: an exactly axis-aligned view puts samples
+    # on integer voxel coordinates, where the trilinear derivative's cell
+    # attribution is fp-rounding-dependent between the two (equally valid)
+    # evaluation orders.
+    angles = np.linspace(0.17, 2.5, n_views)
+    lfs = [jnp.asarray(np.array(
+        [np.cos(a) * 2.4, 0.6, np.sin(a) * 2.4], np.float32))
+        for a in angles]
+    rays = [make_rays(lf, cfg, sr) for lf in lfs]
+    rays_stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *rays)
+    targets = jnp.stack([
+        render(vol * 0.9, tf, lfs[i], cfg, sampling_rate=sr, ert=False).image
+        for i in range(n_views)])
+
+    # The SPMD forward: views x space shard_map returning per-view images.
+    # Loss and grads are taken OUTSIDE (differentiating THROUGH the
+    # shard_map): per-device jax.grad of a replicated loss over-counts
+    # cotangents through all_gather by the axis size (its transpose is a
+    # psum — sum-over-replica-losses semantics), so grads must be computed
+    # around the shard_map, not inside it.
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P("space"), P(), P("views")),
+        out_specs=P("views"),
+        check_vma=False,
+    )
+    def render_views_sharded_vol(vol_local, tf_, rays_local):
+        imgs = []
+        for i in range(n_views // dv):
+            rb = jax.tree.map(lambda x: x[i], rays_local)
+            img, _ = segment_render(vol_local, tf_, RayBundle(*rb), cfg, sr,
+                                    "space", length, block)
+            imgs.append(img)
+        return jnp.stack(imgs)
+
+    def combined_loss(v, t):
+        imgs = render_views_sharded_vol(v, t, rays_stacked)
+        return jnp.mean((imgs - targets) ** 2)
+
+    loss, (gv, gt) = jax.jit(jax.value_and_grad(
+        combined_loss, argnums=(0, 1)))(vol, tf)
+
+    def single_loss(v, t):
+        imgs = jnp.stack([
+            render(v, t, lfs[i], cfg, sampling_rate=sr, ert=False).image
+            for i in range(n_views)])
+        return jnp.mean((imgs - targets) ** 2)
+
+    loss_s, (gv_s, gt_s) = jax.value_and_grad(
+        single_loss, argnums=(0, 1))(vol, tf)
+    np.testing.assert_allclose(float(loss), float(loss_s), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(gv), np.asarray(gv_s),
+                               atol=2e-4, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(gt), np.asarray(gt_s),
+                               atol=2e-4, rtol=1e-3)
+
+
+@pytest.mark.parametrize("n_shards", [2, 4])
+def test_fast_sharded_matches_unsharded(sphere_volume, n_shards):
+    """Sharded shear-warp == unsharded shear-warp (strip decomposition)."""
+    from differender_tpu.fastpath import render_fast, render_fast_sharded
+
+    cfg = _cfg(sphere_volume.shape, hw=(8, 8))
+    tf = jnp.asarray(get_tf("tf5", 16))
+    vol = jnp.asarray(sphere_volume)
+    mesh = _mesh("space", n_shards)
+    for lf_np in ([1.3, 0.7, 2.1], [2.5, 0.05, 0.1], [-0.2, -2.3, 0.4]):
+        lf = jnp.asarray(np.array(lf_np, np.float32))
+        out = render_fast_sharded(vol, tf, lf, cfg, mesh,
+                                  intermediate=16, planes_per_voxel=1.0)
+        want = render_fast(vol, tf, lf, cfg, intermediate=16,
+                           planes_per_voxel=1.0)
+        np.testing.assert_allclose(np.asarray(out.image),
+                                   np.asarray(want.image), atol=1e-4)
+        np.testing.assert_array_equal(np.asarray(out.hit),
+                                      np.asarray(want.hit))
+
+
+def test_fast_sharded_grads_match(sphere_volume):
+    from differender_tpu.fastpath import render_fast, render_fast_sharded
+
+    cfg = _cfg(sphere_volume.shape, hw=(6, 6))
+    tf = jnp.asarray(get_tf("tf5", 16))
+    vol = jnp.asarray(sphere_volume)
+    lf = jnp.asarray(np.array([1.3, 0.7, 2.1], np.float32))
+    mesh = _mesh("space", 4)
+    w = jnp.asarray(np.random.default_rng(1).random((6, 6, 4), np.float32))
+
+    gv, gt = jax.grad(lambda v, t: jnp.sum(render_fast_sharded(
+        v, t, lf, cfg, mesh, intermediate=16).image * w),
+        argnums=(0, 1))(vol, tf)
+    gv_s, gt_s = jax.grad(lambda v, t: jnp.sum(render_fast(
+        v, t, lf, cfg, intermediate=16).image * w),
+        argnums=(0, 1))(vol, tf)
+    np.testing.assert_allclose(np.asarray(gv), np.asarray(gv_s),
+                               atol=2e-5, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(gt), np.asarray(gt_s),
+                               atol=2e-5, rtol=1e-3)

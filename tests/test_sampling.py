@@ -1,5 +1,6 @@
 import numpy as np
 import jax.numpy as jnp
+import pytest
 
 from differender_tpu.sampling import trilinear, sample_with_gradient, apply_tf
 
@@ -54,3 +55,93 @@ def test_apply_tf_texel_exact(rng):
     idx = np.arange(16, dtype=np.float32) / 15.0
     got = np.asarray(apply_tf(jnp.asarray(tf), jnp.asarray(idx)))
     np.testing.assert_allclose(got, tf, atol=1e-5)
+
+
+class TestSupercell:
+    """Supercell (4x4x4-row) samplers == cell-table samplers exactly."""
+
+    def _ray_positions(self, key, K, N, step_scale=0.01):
+        """Consecutive ray-like sample positions (valid for grouping)."""
+        import jax
+        k1, k2 = jax.random.split(key)
+        p0 = jax.random.uniform(k1, (3, 1, N), jnp.float32) * 1.6 - 0.8
+        d = jax.random.normal(k2, (3, 1, N), jnp.float32)
+        d = d / jnp.linalg.norm(d, axis=0, keepdims=True)
+        s = jnp.arange(K, dtype=jnp.float32).reshape(1, K, 1)
+        p = p0 + s * step_scale * d
+        return p[0], p[1], p[2]
+
+    def test_parity_matches_cell(self, sphere_volume):
+        import jax
+        from differender_tpu.sampling import (cell_table, supercell_table,
+                                              sample_cell_parity,
+                                              sample_super_parity)
+        vol = jnp.asarray(sphere_volume)
+        shape = vol.shape
+        cell = cell_table(vol)
+        sup = supercell_table(vol)
+        px, py, pz = self._ray_positions(jax.random.PRNGKey(0), 8, 64)
+        i1, (a1, b1, c1) = sample_cell_parity(cell, shape, px, py, pz)
+        i2, (a2, b2, c2) = sample_super_parity(sup, shape, px, py, pz)
+        np.testing.assert_allclose(np.asarray(i1), np.asarray(i2), atol=1e-6)
+        for u, v in ((a1, a2), (b1, b2), (c1, c2)):
+            np.testing.assert_allclose(np.asarray(u), np.asarray(v),
+                                       atol=1e-6)
+
+    @pytest.mark.parametrize("group", [1, 2, 4])
+    def test_analytic_matches_cell(self, sphere_volume, group):
+        import jax
+        from differender_tpu.sampling import (cell_table, supercell_table,
+                                              sample_cell_analytic,
+                                              sample_super_analytic)
+        vol = jnp.asarray(sphere_volume)
+        shape = vol.shape
+        cell = cell_table(vol)
+        sup = supercell_table(vol)
+        # step small enough that `group` consecutive samples share a row
+        px, py, pz = self._ray_positions(jax.random.PRNGKey(1), 8, 64,
+                                         step_scale=0.01)
+        i1, (a1, b1, c1) = sample_cell_analytic(cell, shape, px, py, pz)
+        i2, (a2, b2, c2) = sample_super_analytic(sup, shape, px, py, pz,
+                                                 group=group)
+        np.testing.assert_allclose(np.asarray(i1), np.asarray(i2), atol=1e-6)
+        for u, v in ((a1, a2), (b1, b2), (c1, c2)):
+            np.testing.assert_allclose(np.asarray(u), np.asarray(v),
+                                       atol=1e-6)
+
+    def test_clamped_boundary_positions(self, sphere_volume):
+        """Positions beyond the volume clamp identically in both paths."""
+        from differender_tpu.sampling import (cell_table, supercell_table,
+                                              sample_cell_parity,
+                                              sample_super_parity)
+        vol = jnp.asarray(sphere_volume)
+        shape = vol.shape
+        cell = cell_table(vol)
+        sup = supercell_table(vol)
+        edge = jnp.asarray(np.array(
+            [[-1.2, -1.0, -0.999], [1.2, 1.0, 0.999]], np.float32))
+        px = jnp.broadcast_to(edge[:, 0][:, None], (2, 3))
+        py = jnp.broadcast_to(edge[:, 1][:, None], (2, 3))
+        pz = jnp.broadcast_to(edge[:, 2][:, None], (2, 3))
+        i1, g1 = sample_cell_parity(cell, shape, px, py, pz)
+        i2, g2 = sample_super_parity(sup, shape, px, py, pz)
+        np.testing.assert_allclose(np.asarray(i1), np.asarray(i2), atol=1e-6)
+        for u, v in zip(g1, g2):
+            np.testing.assert_allclose(np.asarray(u), np.asarray(v),
+                                       atol=1e-6)
+
+    def test_render_table_kinds_agree(self, sphere_volume):
+        """End-to-end: render with flat / cell8 / super64 tables agrees."""
+        from differender_tpu import RenderConfig, render, get_tf
+        vol = jnp.asarray(sphere_volume)
+        tf = jnp.asarray(get_tf("tf5", 16))
+        lf = jnp.asarray(np.array([1.3, 0.7, 2.1], np.float32))
+        imgs = {}
+        for kind in ("flat", "cell8", "super64"):
+            cfg = RenderConfig(volume_shape=vol.shape, image_shape=(6, 6),
+                               max_samples=48, block_size=8,
+                               march_table=kind)
+            imgs[kind] = np.asarray(
+                render(vol, tf, lf, cfg, sampling_rate=0.7).image)
+        np.testing.assert_allclose(imgs["cell8"], imgs["flat"], atol=1e-5)
+        np.testing.assert_allclose(imgs["super64"], imgs["flat"], atol=1e-5)
