@@ -81,15 +81,16 @@ def measure_cpu_baseline():
     return data
 
 
-def _chain_bench(f, n):
+def _chain_bench(f, n, args=()):
+    """Chained-scalar timing.  Arrays are passed as jit ARGUMENTS — a
+    closure-captured volume inlines a 64 MB constant into the MLIR module
+    and OOM-kills the remote compile helper (CLAUDE.md rule 2)."""
     import jax
     import jax.numpy as jnp
-    c = f(jnp.float32(0.0))
-    jax.block_until_ready(c)
+    c = jnp.float32(float(f(jnp.float32(0.0), *args)))
     t0 = time.time()
     for _ in range(n):
-        c = f(c)
-    jax.block_until_ready(c)
+        c = jnp.float32(float(f(c, *args)))
     return (time.time() - t0) / n
 
 
@@ -108,31 +109,32 @@ def main():
     def make(cfg, mode):
         if mode == "grad":
             @jax.jit
-            def f(c):
+            def f(c, v, t):
                 lf = jnp.asarray(lf0) + c * 1e-6
-                g = jax.grad(lambda v, t: jnp.mean(
-                    render(v, t, lf, cfg, sampling_rate=SR).image ** 2),
-                    argnums=(0, 1))(vol, tf)
+                g = jax.grad(lambda v_, t_: jnp.mean(
+                    render(v_, t_, lf, cfg, sampling_rate=SR).image ** 2),
+                    argnums=(0, 1))(v, t)
                 return c + 1 + g[0].sum() * 0
         else:
             @jax.jit
-            def f(c):
+            def f(c, v, t):
                 lf = jnp.asarray(lf0) + c * 1e-6
-                img = render_nondiff(vol, tf, lf, cfg, sampling_rate=SR).image
+                img = render_nondiff(v, t, lf, cfg,
+                                     sampling_rate=SR).image
                 return c + 1 + img.sum() * 0
         return f
 
     # Exact-path round-2 config: supercell-64 march table (one 64-wide row
-    # gather per 4 consecutive samples), MXU-dot TF, hand-written tiled
-    # volume-grad VJP (sampling.sample_block_tiled).
+    # gather per 4 consecutive samples) + MXU-dot TF.  march_vjp stays "ad":
+    # the hand-written tiled VJP wins below ~128^3 but its per-tile op
+    # overhead loses to the AD scatter at the headline scale (BASELINE.md).
     cfg_fast = RenderConfig(volume_shape=(VOL,) * 3, image_shape=(IMG, IMG),
                             max_samples=MAX_SAMPLES, block_size=BLOCK,
-                            analytic_normals=True, march_table="super64",
-                            march_vjp="tiled")
+                            analytic_normals=True, march_table="super64")
     cfg_parity = cfg_fast.replace(analytic_normals=False, block_size=8)
 
-    step_s = _chain_bench(make(cfg_fast, "grad"), n=2)
-    fwd_s = _chain_bench(make(cfg_fast, "fwd"), n=2)
+    step_s = _chain_bench(make(cfg_fast, "grad"), n=2, args=(vol, tf))
+    fwd_s = _chain_bench(make(cfg_fast, "fwd"), n=2, args=(vol, tf))
 
     # shear-warp fast path (slab-aligned quadrature, all-MXU resampling)
     from differender_tpu.fastpath import render_fast
@@ -140,60 +142,71 @@ def main():
     def make_sw(mode):
         if mode == "grad":
             @jax.jit
-            def f(c):
+            def f(c, v, t):
                 lf = jnp.asarray(lf0) + c * 1e-6
-                g = jax.grad(lambda v, t: jnp.mean(render_fast(
-                    v, t, lf, cfg_fast, intermediate=768,
-                    planes_per_voxel=2.0).image ** 2), argnums=(0, 1))(vol, tf)
+                g = jax.grad(lambda v_, t_: jnp.mean(render_fast(
+                    v_, t_, lf, cfg_fast, intermediate=768,
+                    planes_per_voxel=2.0).image ** 2),
+                    argnums=(0, 1))(v, t)
                 return c + 1 + g[0].sum() * 0
         else:
             @jax.jit
-            def f(c):
+            def f(c, v, t):
                 lf = jnp.asarray(lf0) + c * 1e-6
-                img = render_fast(vol, tf, lf, cfg_fast, intermediate=768,
+                img = render_fast(v, t, lf, cfg_fast, intermediate=768,
                                   planes_per_voxel=2.0).image
                 return c + 1 + img.sum() * 0
         return f
 
     errors = {}
     try:
-        sw_fwd_s = _chain_bench(make_sw("fwd"), n=2)
-        sw_step_s = _chain_bench(make_sw("grad"), n=2)
+        sw_fwd_s = _chain_bench(make_sw("fwd"), n=2, args=(vol, tf))
+        sw_step_s = _chain_bench(make_sw("grad"), n=2, args=(vol, tf))
     except Exception as e:
         sw_fwd_s = sw_step_s = None
         errors["shearwarp"] = f"{type(e).__name__}: {e}"[:300]
     try:
         # parity mode moves 7x more gathered bytes; smaller blocks keep the
         # intermediates inside HBM. Transient TPU infra errors -> None.
-        parity_step_s = _chain_bench(make(cfg_parity, "grad"), n=1)
+        parity_step_s = _chain_bench(make(cfg_parity, "grad"), n=1,
+                                     args=(vol, tf))
     except Exception as e:
         parity_step_s = None
         errors["parity_mode"] = f"{type(e).__name__}: {e}"[:300]
 
     # Fidelity of the approximate shear-warp renderer vs the exact march at
-    # the headline config (same camera, nondiff exact as the yardstick).
-    sw_ssim = sw_linf = None
+    # the headline config — on the timing scene (uniform NOISE, worst case
+    # for slab quadrature: no spatial coherence) AND a structured
+    # soft-sphere scene representative of real volumes.
+    sw_ssim = sw_linf = sw_ssim_sphere = sw_linf_sphere = None
     if sw_step_s is not None:
         try:
             from differender_tpu.losses import ssim as _ssim
 
-            lf = jnp.asarray(lf0)
-            exact_img = jax.jit(
-                lambda v, t, l: render(v, t, l, cfg_fast,
-                                       sampling_rate=SR).image
-            )(vol, tf, lf)
-            sw_img = jax.jit(
-                lambda v, t, l: render_fast(v, t, l, cfg_fast,
-                                            intermediate=768,
-                                            planes_per_voxel=2.0).image
-            )(vol, tf, lf)
-            exact_img = np.asarray(exact_img)
-            sw_img = np.asarray(sw_img)
-            sw_ssim = float(np.mean([
-                float(_ssim(jnp.asarray(sw_img[..., c]),
-                            jnp.asarray(exact_img[..., c])))
-                for c in range(4)]))
-            sw_linf = float(np.abs(sw_img - exact_img).max())
+            def fid(v):
+                lf = jnp.asarray(lf0)
+                exact_img = np.asarray(jax.jit(
+                    lambda v_, t, l: render(v_, t, l, cfg_fast,
+                                            sampling_rate=SR).image
+                )(v, tf, lf))
+                sw_img = np.asarray(jax.jit(
+                    lambda v_, t, l: render_fast(v_, t, l, cfg_fast,
+                                                 intermediate=768,
+                                                 planes_per_voxel=2.0).image
+                )(v, tf, lf))
+                # losses.ssim expects (..., C, H, W)
+                ss = float(_ssim(
+                    jnp.asarray(np.moveaxis(sw_img, -1, 0)),
+                    jnp.asarray(np.moveaxis(exact_img, -1, 0))))
+                return ss, float(np.abs(sw_img - exact_img).max())
+
+            sw_ssim, sw_linf = fid(vol)
+            xs = np.linspace(-1, 1, VOL, dtype=np.float32)
+            gx, gy, gz = np.meshgrid(xs, xs, xs, indexing="ij")
+            rr = np.sqrt(gx * gx + gy * gy + gz * gz)
+            sphere = jnp.asarray(
+                (1.0 / (1.0 + np.exp((rr - 0.55) * 12.0))).astype(np.float32))
+            sw_ssim_sphere, sw_linf_sphere = fid(sphere)
         except Exception as e:
             errors["fidelity"] = f"{type(e).__name__}: {e}"[:300]
 
@@ -234,10 +247,16 @@ def main():
             "shearwarp_fwd_s": round(sw_fwd_s, 4) if sw_fwd_s else None,
             "shearwarp_fwd_bwd_s": (round(sw_step_s, 4)
                                     if sw_step_s else None),
-            "shearwarp_ssim_vs_exact": (round(sw_ssim, 4)
-                                        if sw_ssim is not None else None),
-            "shearwarp_linf_vs_exact": (round(sw_linf, 4)
-                                        if sw_linf is not None else None),
+            "shearwarp_ssim_vs_exact_noise_scene": (
+                round(sw_ssim, 4) if sw_ssim is not None else None),
+            "shearwarp_linf_vs_exact_noise_scene": (
+                round(sw_linf, 4) if sw_linf is not None else None),
+            "shearwarp_ssim_vs_exact_sphere_scene": (
+                round(sw_ssim_sphere, 4)
+                if sw_ssim_sphere is not None else None),
+            "shearwarp_linf_vs_exact_sphere_scene": (
+                round(sw_linf_sphere, 4)
+                if sw_linf_sphere is not None else None),
             "errors": errors or None,
         },
     }))
