@@ -131,7 +131,8 @@ def main():
     cfg_fast = RenderConfig(volume_shape=(VOL,) * 3, image_shape=(IMG, IMG),
                             max_samples=MAX_SAMPLES, block_size=BLOCK,
                             analytic_normals=True, march_table="super64")
-    cfg_parity = cfg_fast.replace(analytic_normals=False, block_size=8)
+    cfg_parity = cfg_fast.replace(analytic_normals=False, block_size=8,
+                                  ert_block_skip=False)
 
     step_s = _chain_bench(make(cfg_fast, "grad"), n=2, args=(vol, tf))
     fwd_s = _chain_bench(make(cfg_fast, "fwd"), n=2, args=(vol, tf))

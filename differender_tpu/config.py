@@ -127,6 +127,12 @@ class RenderConfig:
     vjp_box: int = 32                # voxel box edge of the tiled VJP's
                                      # local accumulation (box^3 * 256 B
                                      # must stay cache-resident: 32 -> 8 MB)
+    ert_block_skip: bool = True      # runtime-skip fully-terminated march
+                                     # blocks in the DIFF path (exact; 2.07x
+                                     # fwd / 1.83x fwd+bwd measured).  Off:
+                                     # plain scan — needed where the cond's
+                                     # extra backward memory does not fit
+                                     # (parity mode at 256^3/512^2).
 
     # ------------------------------------------------------------------
     # Derived static quantities
