@@ -131,3 +131,29 @@ def test_miss_pixels_are_zero(sphere_volume):
     img = np.asarray(out.image)
     assert (n == 0).any()
     assert np.all(img[n == 0] == 0.0)
+
+
+def test_ert_block_skip_equivalence(sphere_volume):
+    """The runtime block-skip conditional is semantically invisible:
+    images, counts, and gradients match the plain scan exactly."""
+    import jax
+    from differender_tpu import get_tf
+    vol = jnp.asarray(sphere_volume)
+    tf = jnp.asarray(get_tf("tf5", 16))
+    lf = jnp.asarray(np.array([1.3, 0.7, 2.1], np.float32))
+    # dense TF -> rays saturate early -> blocks actually get skipped
+    cfg_skip = RenderConfig(volume_shape=vol.shape, image_shape=(8, 8),
+                            max_samples=64, block_size=8)
+    cfg_plain = cfg_skip.replace(ert_block_skip=False)
+    w = jnp.asarray(np.random.default_rng(5).random((8, 8, 4), np.float32))
+
+    outs = {}
+    for name, cfg in (("skip", cfg_skip), ("plain", cfg_plain)):
+        out = render(vol, tf, lf, cfg, sampling_rate=1.0)
+        gv, gt = jax.grad(lambda v, t, cfg=cfg: jnp.sum(render(
+            v, t, lf, cfg, sampling_rate=1.0).image * w),
+            argnums=(0, 1))(vol, tf)
+        outs[name] = (np.asarray(out.image), np.asarray(out.valid_steps),
+                      np.asarray(gv), np.asarray(gt))
+    for a, b in zip(outs["skip"], outs["plain"]):
+        np.testing.assert_allclose(a, b, atol=1e-6)
