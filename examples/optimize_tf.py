@@ -8,6 +8,11 @@ CLI flags follow the reference's argparse surface (`:466-530`).
 """
 import argparse
 import os
+import sys
+
+# Allow running straight from a checkout: `python examples/<script>.py`
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 import numpy as np
 

@@ -10,6 +10,11 @@ the nondiff path at sampling_rate 8 (`:66-67`), loss = (1-SSIM) + MSE
 """
 import argparse
 import os
+import sys
+
+# Allow running straight from a checkout: `python examples/<script>.py`
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 import numpy as np
 

@@ -7,6 +7,11 @@ renders a synthetic skull-ish shell by default, or any raw volume passed via
 --raw/--shape (the reference's skull.raw recipe).
 """
 import argparse
+import os
+import sys
+
+# Allow running straight from a checkout: `python examples/<script>.py`
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import sys
 
 import numpy as np
