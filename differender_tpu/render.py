@@ -180,6 +180,15 @@ def _prep_volume(volume: Array, config: RenderConfig):
     memory, more gather indices)."""
     kind = config.resolved_march_table()
     if kind == "super64":
+        if (not config.analytic_normals
+                and 2.0 * config.normal_delta
+                * (max(config.volume_shape) - 1.0) >= 1.0):
+            raise ValueError(
+                "march_table='super64' parity sampling requires the stencil "
+                "to fit one 4x4x4 row: 2*normal_delta*(size-1) < 1 voxel "
+                f"(got delta={config.normal_delta}, "
+                f"shape={config.volume_shape}); use cell8/flat or "
+                "analytic_normals")
         return kind, supercell_table(volume)
     if kind == "cell8":
         return kind, cell_table(volume)
