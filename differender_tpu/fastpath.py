@@ -19,7 +19,9 @@ alternative: Lacroute's perspective shear-warp factorization
      positions — i.e. two small matmuls ``Mx @ slab @ My^T`` per slab, with
      interpolation matrices built from iota comparisons;
   3. slabs are composited front-to-back in intermediate space with per-pixel
-     opacity correction for the per-ray step length;
+     opacity correction for the per-ray step length, the reference's
+     early-ray-termination gate (alpha >= 0.99, matching the exact diff
+     path `:267-269`), and a runtime skip of fully-terminated slabs;
   4. the final image is one bilinear warp of the intermediate image — the
      ONLY other gather.
 
@@ -31,13 +33,12 @@ with ``intermediate``/``planes_per_voxel`` density (SSIM 0.73 -> 0.90 from
 w.r.t. volume and TF end-to-end.
 
 Measured (TPU v5e, 256^3 volume -> 512^2 image, 2 planes/voxel):
-round 1: fwd 0.43 s / fwd+bwd 2.5 s at O=768 with an unrolled hat-TF and
-HIGHEST-precision matmuls.  Round 2 (TF classification as an MXU dot +
-default HIGH precision, experiments/fastpath_profile_results.jsonl):
-fwd 0.30 s / fwd+bwd 1.80 s at O=768 (L-inf 7e-4 vs the all-f32 render —
-far below the slab-quadrature error).  512^3 -> 1024^2 renders in ~2 s
-(where the exact path faults).  Cost scales with O^2 per slab (TF
-classification dominates: 83% of forward in the round-1 profile).
+round 1: fwd 0.43 s / fwd+bwd 2.5 s at O=768 (unrolled hat-TF, HIGHEST
+precision).  Round 2 final (MXU-dot TF + HIGH precision + O=576 + the ERT
+gate/slab skip): fwd 0.22 s / **fwd+bwd 0.87 s** — and the gate tightens
+fidelity to the exact ERT'd image (noise-scene SSIM 0.40 -> 0.57, sphere
+mae 0.0035 -> 0.0022).  512^3 -> 1024^2 renders in ~2 s.  History and
+ablations: BASELINE.md + experiments/fastpath_profile_results.jsonl.
 """
 from __future__ import annotations
 
@@ -196,7 +197,23 @@ def _core(channels: Array, tf: Array, lf: Array, light: Array,
     ysc = np.float32(0.5 * (Y - 1))
     zsc = np.float32(0.5 * (Z - 1))
 
-    def slab_fn(carry, zw):
+    # Pre-interpolate every slab's (4, X, Y) layer pair OUTSIDE the scan
+    # and feed them as a SCANNED input: with the ERT slab-skip conditional
+    # below, keeping ``channels`` a loop-invariant read would make the scan
+    # transpose materialize a stacked per-slab channels cotangent
+    # ((S, 4, X, Y, Z) — 137 GB at the headline config); as a scanned
+    # input the cotangent is the natural (S, 4, X, Y) stack and the z-lerp
+    # transpose happens once outside the loop.
+    zv_all = jnp.clip((zws + 1.0) * zsc, 0.0, Z - 1.0)          # (S,)
+    zlo_all = jnp.floor(zv_all).astype(jnp.int32)
+    zhi_all = jnp.minimum(zlo_all + 1, Z - 1)
+    fz_all = (zv_all - jnp.floor(zv_all))[:, None, None, None]  # (S,1,1,1)
+    lo_slabs = jnp.moveaxis(jnp.take(channels, zlo_all, axis=3), 3, 0)
+    hi_slabs = jnp.moveaxis(jnp.take(channels, zhi_all, axis=3), 3, 0)
+    slabs = lo_slabs * (1.0 - fz_all) + hi_slabs * fz_all       # (S,4,X,Y)
+
+    def slab_fn(carry, x):
+        zw, slab = x
         acc_rgb, T = carry
         sz = (zw - lz) / (0.0 - lz)
         # slab sample positions in voxel coords
@@ -204,15 +221,6 @@ def _core(channels: Array, tf: Array, lf: Array, light: Array,
         src_y = (ly + sz * (gb - ly) + 1.0) * ysc
         Mx = _interp_matrix(src_x, X)                           # (R, X)
         My = _interp_matrix(src_y, Y)                           # (O, Y)
-        # z interpolation between the two neighboring voxel layers
-        zv = jnp.clip((zw + 1.0) * zsc, 0.0, Z - 1.0)
-        z_lo = jnp.floor(zv).astype(jnp.int32)
-        z_hi = jnp.minimum(z_lo + 1, Z - 1)
-        fz = zv - jnp.floor(zv)
-        slab = (jax.lax.dynamic_index_in_dim(channels, z_lo, axis=3,
-                                             keepdims=False) * (1.0 - fz)
-                + jax.lax.dynamic_index_in_dim(channels, z_hi, axis=3,
-                                               keepdims=False) * fz)
         # (4, X, Y) -> (4, O, O): two batched matmuls on the MXU
         tmp = jnp.einsum("ox,cxy->cyo", Mx, slab,
                          preferred_element_type=jnp.float32,
@@ -224,14 +232,30 @@ def _core(channels: Array, tf: Array, lf: Array, light: Array,
         # [0, size-1] and to 0 outside, and the resample is separable.
         coverage = jnp.sum(Mx, axis=1)[:, None] * jnp.sum(My, axis=1)[None, :]
         rgb, alpha = shade_slab(res, zw, coverage)
-        acc_rgb = acc_rgb + T[..., None] * rgb
-        T = T * (1.0 - alpha)
+        # Per-pixel early-ray termination — the reference's differentiable
+        # kernel stops compositing once accumulated alpha >= 0.99
+        # (`/root/reference/differender/volume_raycaster.py:267-269`); the
+        # same gate here both tightens fidelity to the exact ERT'd image
+        # and makes fully-terminated slabs EXACT no-ops (enabling the
+        # runtime slab skip below).
+        active = T > np.float32(1.0 - config.ert_threshold)
+        acc_rgb = acc_rgb + jnp.where(active, T, 0.0)[..., None] * rgb
+        T = jnp.where(active, T * (1.0 - alpha), T)
         return (acc_rgb, T), None
 
     slab_fn = jax.checkpoint(slab_fn, prevent_cse=False)
+
+    def slab_step(carry, x):
+        # Runtime skip of fully-terminated slabs (cf. render.march_diff's
+        # ERT block skip; the remat must sit inside the cond branch).
+        _, T = carry
+        alive = jnp.any(T > np.float32(1.0 - config.ert_threshold))
+        return jax.lax.cond(alive, slab_fn, lambda c, _x: (c, None),
+                            carry, x)
+
     acc0 = jnp.zeros((R, O, 3), jnp.float32)
     T0 = jnp.ones((R, O), jnp.float32)
-    (acc_rgb, T), _ = jax.lax.scan(slab_fn, (acc0, T0), zws)
+    (acc_rgb, T), _ = jax.lax.scan(slab_step, (acc0, T0), (zws, slabs))
     inter = jnp.concatenate([acc_rgb, (1.0 - T)[..., None]], axis=-1)
     return inter, (x0, y0, dx, dy)
 
