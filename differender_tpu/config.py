@@ -127,6 +127,32 @@ class RenderConfig:
     vjp_box: int = 32                # voxel box edge of the tiled VJP's
                                      # local accumulation (box^3 * 256 B
                                      # must stay cache-resident: 32 -> 8 MB)
+    vjp_check: bool = False          # tiled-VJP runtime containment check:
+                                     # a tile whose sample footprint exceeds
+                                     # vjp_box poisons its gradient with NaN
+                                     # (loud) instead of silently clamping
+                                     # to wrong voxels.  Enable when
+                                     # validating a new tile/box/fov combo.
+    occupancy_skip: bool = True      # nondiff path: macrocell distance-
+                                     # field empty-space jumps (semantics-
+                                     # exact — skipped samples provably sit
+                                     # below alpha_skip; see
+                                     # differender_tpu.occupancy)
+    occupancy_cell: int = 8          # macrocell edge in voxels
+    nondiff_compaction: bool = True  # nondiff path: wavefront compaction —
+                                     # march a compacted alive-ray prefix
+                                     # through a static N -> N/4 -> ...
+                                     # phase ladder (same per-ray sample
+                                     # sequence, images equal to ~1 ulp;
+                                     # per-iteration cost tracks the alive
+                                     # count instead of the full image)
+    compaction_min: int = 16384      # smallest compaction phase size (the
+                                     # ladder divides by 4 until here)
+    occupancy_jump_every: int = 1    # evaluate the distance-field jump
+                                     # every Nth march iteration (each jump
+                                     # costs one extra gather op per
+                                     # iteration; >1 trades skip
+                                     # granularity for op count)
     ert_block_skip: bool = True      # runtime-skip fully-terminated march
                                      # blocks in the DIFF path (exact; 2.07x
                                      # fwd / 1.83x fwd+bwd measured).  Off:
@@ -191,27 +217,46 @@ class RenderConfig:
             return self.march_table
         x, y, z = self.volume_shape
         bytes64 = x * y * z * 64 * 4
-        if (bytes64 <= self.super64_max_bytes
-                and 2.0 * self.normal_delta * (max(self.volume_shape) - 1.0)
-                < 1.0):
+        # The stencil-fit condition only constrains PARITY sampling (the
+        # 7-point central-difference stencil must fit one 4x4x4 row);
+        # analytic normals never touch the stencil.
+        stencil_ok = (self.analytic_normals
+                      or 2.0 * self.normal_delta
+                      * (max(self.volume_shape) - 1.0) < 1.0)
+        if bytes64 <= self.super64_max_bytes and stencil_ok:
             return "super64"
         return "cell8" if self.cell_gather else "flat"
 
     def supercell_group(self, sampling_rate: float) -> int:
         """How many consecutive march steps may share one supercell row.
 
+        ``sampling_rate`` must be a guaranteed LOWER bound of the rate the
+        march actually steps at (the traced rate) — a larger value
+        under-estimates the step span and the group would read outside the
+        gathered 4x4x4 row.  Callers with a traced rate and no bound must
+        use group 1 (see ``render._safe_supercell_group``).
+
         A group of G steps along a ray spans at most
         ``(G-1) * 1.5 * (s_max - 1) / (2 * sr * vol_diag)`` voxels per axis
         (the 1.5 covers the short-ray n=2 worst case of the reference's
-        ``mix(entry + 0.5 len/n, exit, s/(n-1))`` step); the 4x4x4 row
-        covers a 3-cell span, so the group is valid when that span < 2
-        (cells within [base, base+2] with floors' +-1 slack).  Groups also
-        must divide the march block size.
+        ``mix(entry + 0.5 len/n, exit, s/(n-1))`` step); in parity mode the
+        central-difference stencil widens the span by its diameter
+        ``delta * (s_max - 1)`` voxels.  The 4x4x4 row covers a 3-cell
+        span, so the group is valid when the total span < 2 (cells within
+        [base, base+2] with floors' +-1 slack).  Groups also must divide
+        the march block size.
         """
         s_max = max(self.volume_shape) - 1.0
         step_vox = 1.5 * s_max / (2.0 * sampling_rate * self.vol_diag)
-        for g in (4, 2):
-            if (g - 1) * step_vox < 2.0 and self.block_size % g == 0:
+        stencil_vox = (0.0 if self.analytic_normals
+                       else self.normal_delta * s_max)
+        # High sampling rates step a small fraction of a voxel, so MANY
+        # consecutive samples share one row — at the reference's
+        # sampling_rate=16 inference workload a single 64-wide gather
+        # serves 32+ samples (the round-3 lever for high-rate marches).
+        for g in (64, 32, 16, 8, 4, 2):
+            if ((g - 1) * step_vox + stencil_vox < 2.0
+                    and self.block_size % g == 0):
                 return g
         return 1
 

@@ -33,7 +33,12 @@ def _gaussian_window(size: int, sigma: float):
 
 
 def _filter2d(img: Array, win: Array) -> Array:
-    """Depthwise 'valid' convolution of (N, C, H, W) with a (k, k) window."""
+    """Depthwise 'valid' convolution of (N, C, H, W) with a (k, k) window.
+
+    ``precision=HIGHEST`` is required: the TPU conv units default to bf16
+    passes, and the SSIM moment arithmetic downstream cancels
+    catastrophically at bf16 (measured SSIM 1.05 on near-identical images —
+    BENCH_r02)."""
     n, c, h, w = img.shape
     kernel = jnp.tile(win[None, None], (c, 1, 1, 1))   # (C, 1, k, k)
     return jax.lax.conv_general_dilated(
@@ -41,6 +46,7 @@ def _filter2d(img: Array, win: Array) -> Array:
         window_strides=(1, 1), padding="VALID",
         dimension_numbers=("NCHW", "OIHW", "NCHW"),
         feature_group_count=c,
+        precision=jax.lax.Precision.HIGHEST,
     )
 
 
@@ -64,9 +70,26 @@ def ssim(pred: Array, target: Array, data_range: float = 1.0,
     mu_x = _filter2d(pred, win)
     mu_y = _filter2d(target, win)
     mu_xx, mu_yy, mu_xy = mu_x * mu_x, mu_y * mu_y, mu_x * mu_y
-    sigma_xx = _filter2d(pred * pred, win) - mu_xx
-    sigma_yy = _filter2d(target * target, win) - mu_yy
-    sigma_xy = _filter2d(pred * target, win) - mu_xy
+
+    # Second moments are computed about a constant shift (the global mean of
+    # the target): covariances are shift-invariant in exact arithmetic, but
+    # the naive E[x^2] - mu^2 form loses ~all mantissa bits when the local
+    # mean dominates the local variance (BENCH_r02 recorded SSIM 1.0517 on
+    # TPU).  The shift makes E[(x-c)^2] the same magnitude as the variance
+    # itself, so the subtraction no longer cancels.  stop_gradient is exact:
+    # d(sigma)/d(c) == 0 analytically.
+    shift = jax.lax.stop_gradient(jnp.mean(target))
+    predc = pred - shift
+    targetc = target - shift
+    mu_xc = mu_x - shift
+    mu_yc = mu_y - shift
+    sigma_xx = _filter2d(predc * predc, win) - mu_xc * mu_xc
+    sigma_yy = _filter2d(targetc * targetc, win) - mu_yc * mu_yc
+    sigma_xy = _filter2d(predc * targetc, win) - mu_xc * mu_yc
+    # True variances are nonnegative; tiny negatives are pure rounding and
+    # would let |cs| exceed 1 on near-constant windows.
+    sigma_xx = jnp.maximum(sigma_xx, 0.0)
+    sigma_yy = jnp.maximum(sigma_yy, 0.0)
 
     cs = (2.0 * sigma_xy + c2) / (sigma_xx + sigma_yy + c2)
     ssim_map = ((2.0 * mu_xy + c1) / (mu_xx + mu_yy + c1)) * cs

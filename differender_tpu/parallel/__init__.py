@@ -8,6 +8,10 @@ replacement:
 * :mod:`data_parallel` — multi-view data parallelism: shard the view batch
   over a mesh axis, replicate volume/TF, reduce gradients with ``psum``
   (implicit through jit/shard_map transposes).
+* :mod:`train_step` — the multi-view training step (per-view jit with
+  gradient accumulation, or a views-axis shard_map scan when a mesh
+  exists) — the measured-safe replacement for one monolithic batched
+  backward graph.
 * :mod:`volume_sharding` — spatial volume sharding for volumes that exceed
   one chip's HBM (the 1024³ stretch config): the volume grid is sharded
   along its X axis, each shard renders the contiguous ray segment that
@@ -17,12 +21,13 @@ replacement:
   camera order after an ``all_gather``.
 """
 from .data_parallel import render_views, view_parallel_grads
+from .train_step import train_step_views
 from .volume_sharding import (render_volume_sharded, shard_volume,
                               HALO, compose_segments, segment_render,
                               segment_length)
 
 __all__ = [
-    "render_views", "view_parallel_grads",
+    "render_views", "view_parallel_grads", "train_step_views",
     "render_volume_sharded", "shard_volume", "HALO", "compose_segments",
     "segment_render", "segment_length",
 ]

@@ -1,0 +1,144 @@
+"""Multi-view training step — the measured-safe recipe as a library API.
+
+The reference's core training loop renders a batch of 8 camera poses per
+step and backprops the joint loss (`/root/reference/examples/test_opt_tf.py:65-73`).
+Two measured facts (BASELINE.md round 1-2) make the naive ports bad on this
+stack:
+
+  * a monolithic multi-view backward graph at scale crashes the remote
+    compiler (HTTP 500) and can exceed HBM;
+  * under ``vmap`` the march's ERT block-skip ``lax.cond`` lowers to a
+    select — both branches run, forfeiting the measured ~2x block-skip
+    savings (``render.march_diff``).
+
+This module provides :func:`train_step_views`, which picks between the two
+designs that actually work:
+
+  * **accum** (default without a mesh): per-view jit'd value_and_grad calls
+    with on-device gradient accumulation.  One compiled program per view
+    *shape* (cached across steps), real ``lax.cond`` block skipping, no
+    joint graph.
+  * **shard_map** (default with a mesh): views sharded over a mesh axis;
+    each device scans its local views (``lax.scan`` keeps the ERT cond a
+    real cond, unlike vmap) and the mean-loss gradient reduction across
+    devices is XLA's psum transpose.  Differentiation happens AROUND the
+    shard_map (the measured-exact pattern; inside-grad over-counts
+    through gather transposes — see CLAUDE.md).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..config import RenderConfig
+from ..render import render
+
+Array = jax.Array
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("config", "sampling_rate", "loss_fn",
+                                    "with_key"))
+def _view_value_grad(volume, tf, lf, target, key, config: RenderConfig,
+                     sampling_rate, loss_fn, with_key: bool):
+    def f(v, t):
+        img = render(v, t, lf, config, sampling_rate,
+                     key=key if with_key else None).image
+        return loss_fn(img, target)
+
+    return jax.value_and_grad(f, argnums=(0, 1))(volume, tf)
+
+
+@functools.lru_cache(maxsize=None)
+def _shard_step_fn(loss_fn, config: RenderConfig, sampling_rate, mesh: Mesh,
+                   axis: str, with_keys: bool, batch: int):
+    def total(vol, tf_, lfs, tgts, ks):
+        @functools.partial(
+            jax.shard_map, mesh=mesh,
+            in_specs=(P(), P(), P(axis), P(axis),
+                      P(axis) if with_keys else P()),
+            out_specs=P(),
+            check_vma=False,
+        )
+        def local(vol_, tfl, lfs_l, tgts_l, ks_l):
+            def body(carry, inp):
+                if with_keys:
+                    lf, tgt, k = inp
+                else:
+                    lf, tgt = inp
+                    k = None
+                img = render(vol_, tfl, lf, config, sampling_rate,
+                             key=k).image
+                return carry + loss_fn(img, tgt), None
+
+            xs = (lfs_l, tgts_l, ks_l) if with_keys else (lfs_l, tgts_l)
+            s, _ = jax.lax.scan(body, jnp.float32(0.0), xs)
+            return jax.lax.psum(s, axis) / batch
+
+        return local(vol, tf_, lfs, tgts, ks)
+
+    # jit is required around shard_map bodies containing remat (closed_call).
+    return jax.jit(jax.value_and_grad(total, argnums=(0, 1)))
+
+
+def train_step_views(
+    loss_fn: Callable[[Array, Array], Array],
+    volume: Array,
+    tf: Array,
+    look_froms: Array,            # (B, 3)
+    targets: Array,               # (B, H, W, 4)
+    config: RenderConfig,
+    sampling_rate: Optional[float] = None,
+    keys: Optional[Array] = None,  # (B,) PRNG keys or None
+    mesh: Optional[Mesh] = None,
+    axis: str = "views",
+    mode: str = "auto",
+):
+    """One multi-view fwd+bwd: ``mean_i loss_fn(render(vol, tf, lf_i), t_i)``.
+
+    Returns ``(loss, (d_volume, d_tf))``.
+
+    Args:
+        loss_fn: ((H, W, 4) image, target) -> scalar.  Must be a hashable
+            (module-level) callable — it keys the compilation cache.
+        mode: "accum" (per-view jit + gradient accumulation), "shard_map"
+            (views sharded over ``mesh[axis]``), or "auto" (shard_map iff a
+            mesh is given).  Both modes are numerically the mean-loss
+            gradient; accum sums per-view grads in f32 on device.
+    """
+    if mode == "auto":
+        mode = "shard_map" if mesh is not None else "accum"
+    B = look_froms.shape[0]
+    volume = jnp.asarray(volume, jnp.float32)
+    tf = jnp.asarray(tf, jnp.float32)
+
+    if mode == "accum":
+        loss = jnp.float32(0.0)
+        gv = jnp.zeros_like(volume)
+        gt = jnp.zeros_like(tf)
+        for i in range(B):
+            li, (gvi, gti) = _view_value_grad(
+                volume, tf, look_froms[i], targets[i],
+                keys[i] if keys is not None else None,
+                config, sampling_rate, loss_fn, keys is not None)
+            loss = loss + li
+            gv = gv + gvi
+            gt = gt + gti
+        inv = jnp.float32(1.0 / B)
+        return loss * inv, (gv * inv, gt * inv)
+
+    if mode != "shard_map":
+        raise ValueError(f"unknown mode {mode!r}")
+    if mesh is None:
+        raise ValueError("mode='shard_map' requires a mesh")
+    if B % mesh.shape[axis]:
+        raise ValueError(
+            f"batch {B} must divide mesh axis {axis}={mesh.shape[axis]}")
+    fn = _shard_step_fn(loss_fn, config, sampling_rate, mesh, axis,
+                        keys is not None, B)
+    ks = keys if keys is not None else jnp.zeros((B,), jnp.uint32)
+    return fn(volume, tf, look_froms, targets, ks)

@@ -218,7 +218,8 @@ def _eval_block_soa(vol_op, tf_op, origin, soa: _RaySoA, steps, sampling_rate,
     and the in-range mask — all (K, N).
     """
     kind, vol_op = vol_op
-    t = soa.t0[None] + steps[:, None].astype(jnp.float32) * soa.dt[None]
+    steps2 = steps if steps.ndim == 2 else steps[:, None]   # (K, N) or (K, 1)
+    t = soa.t0[None] + steps2.astype(jnp.float32) * soa.dt[None]
     px = origin[0] + t * soa.dx[None]                       # (K, N)
     py = origin[1] + t * soa.dy[None]
     pz = origin[2] + t * soa.dz[None]
@@ -229,7 +230,8 @@ def _eval_block_soa(vol_op, tf_op, origin, soa: _RaySoA, steps, sampling_rate,
                           group=(super_group if config.analytic_normals
                                  else 1),
                           parity=not config.analytic_normals,
-                          n_tiles=n_tiles, box=config.vjp_box)
+                          n_tiles=n_tiles, box=config.vjp_box,
+                          check=config.vjp_check)
         _tiled_fn = functools.partial(sample_block_tiled, spec, tiled_volume)
 
         def sample(tbl, _shape, px_, py_, pz_, _delta):
@@ -239,7 +241,8 @@ def _eval_block_soa(vol_op, tf_op, origin, soa: _RaySoA, steps, sampling_rate,
             sample = functools.partial(sample_super_analytic,
                                        group=super_group)
         else:
-            sample = sample_super_parity
+            sample = functools.partial(sample_super_parity,
+                                       group=super_group)
     elif kind == "cell8":
         sample = (sample_cell_analytic if config.analytic_normals
                   else sample_cell_parity)
@@ -268,8 +271,8 @@ def _eval_block_soa(vol_op, tf_op, origin, soa: _RaySoA, steps, sampling_rate,
         soa.dx[None], soa.dy[None], soa.dz[None],
         origin, sampling_rate, config, clamp_light=clamp_light)
     alpha = name(alpha, "march_alpha")
-    in_range = ((steps[:, None] < soa.n_samples[None])
-                & (steps[:, None] < config.max_samples))
+    in_range = ((steps2 < soa.n_samples[None])
+                & (steps2 < config.max_samples))
     return pr, pg, pb, alpha, a, in_range
 
 
@@ -311,6 +314,28 @@ def composite_block_soa(accs, cnt, pr, pg, pb, pa, eligible,
     return (acc_r, acc_g, acc_b, acc_a), cnt, gate
 
 
+def _safe_supercell_group(config: RenderConfig, sampling_rate,
+                          block: int) -> int:
+    """Supercell step-group size that is valid for the *traced* rate.
+
+    ``supercell_group`` sizes how many consecutive march steps may share one
+    4x4x4 row — a function of the step length, i.e. of the TRACED
+    ``sampling_rate``.  Deriving it from ``static_sampling_rate`` (which may
+    legitimately exceed the traced rate — it only sizes the scan bound)
+    would under-estimate the step span and silently read hat weights outside
+    the gathered row (advisor round-2 finding).  When the traced rate is a
+    concrete python number we use it directly; when it is a tracer there is
+    no guaranteed lower bound, so fall back to group=1 (always valid).
+    """
+    if isinstance(sampling_rate, (int, float)):
+        grp = config.supercell_group(float(sampling_rate))
+    else:
+        grp = 1
+    while block % grp:
+        grp //= 2
+    return grp
+
+
 def march_diff(
     volume: Array,
     tf: Array,
@@ -326,9 +351,14 @@ def march_diff(
     instead of the AoS path's one-per-callsite, and no trailing-3/4 tensors.
 
     Args:
-        sampling_rate: traced float used in the math (opacity correction).
+        sampling_rate: traced float used in the math (opacity correction and
+            step length).  Pass a concrete python number to enable supercell
+            step grouping under march_table='super64' — with a tracer the
+            group conservatively degrades to 1 (see
+            :func:`_safe_supercell_group`).
         static_sampling_rate: python float used only to size the static scan
-            bound; must be >= the traced value for exactness.
+            bound; must be >= the traced value so the bound covers every
+            in-range sample.
         ert: disable to march every in-range sample (used for cross-checking
             the sharded renderer, where early termination is not causal
             across volume shards).
@@ -383,9 +413,7 @@ def march_diff(
         vol_op = jax.lax.stop_gradient(vol_op)
     tf_op = _prep_tf(tf, config)
 
-    grp = config.supercell_group(static_sampling_rate)
-    while block % grp:
-        grp //= 2
+    grp = _safe_supercell_group(config, sampling_rate, block)
 
     def eval_block(carry, s0):
         accs, cnt = carry
@@ -452,6 +480,7 @@ def march_nondiff(
     config: RenderConfig,
     sampling_rate,
     static_sampling_rate: float,
+    occupancy=None,
 ):
     """Fast inference march (reference ``raycast_nondiff``, `:308-351`).
 
@@ -461,9 +490,18 @@ def march_nondiff(
     and a final elementwise ``min(1, rgba)``
     (``get_final_image_nondiff``, `:358`).
 
-    TPU addition: the march runs as a ``while_loop`` over step blocks that
-    stops as soon as every ray has either terminated (alpha >= 0.99) or
-    exhausted its samples — the SIMD analogue of per-thread early exit.
+    TPU additions (both semantics-preserving):
+      * the march runs as a ``while_loop`` over step blocks that stops as
+        soon as every ray has either terminated (alpha >= 0.99) or
+        exhausted its samples — the SIMD analogue of per-thread early exit;
+      * with ``occupancy`` (an :class:`differender_tpu.occupancy.
+        OccupancyGrid` built for this volume+TF), each ray additionally
+        JUMPS over runs of samples that are provably below the alpha-skip
+        threshold — the empty-space data structure the reference lacks,
+        and the fix for its flagship sampling_rate=16 workload being
+        gather-bound (see the occupancy module docstring).  Skipped
+        samples contribute exactly nothing in the reference semantics, so
+        the image is unchanged.
     """
     params = march_params(rays)
     H, W = config.image_shape
@@ -476,34 +514,102 @@ def march_nondiff(
     soa = _ray_soa(rays, params)
     vol_op = _prep_volume(volume, config)
     tf_op = _prep_tf(tf, config)
+    grp = _safe_supercell_group(config, sampling_rate, block)
+    arange_k = jnp.arange(block, dtype=jnp.int32)
 
-    def cond_fn(state):
-        accs, b = state
-        maybe_alive = ((accs[3] < config.ert_threshold)
-                       & (soa.n_samples > b * block))
-        return (b < n_blocks) & jnp.any(maybe_alive)
+    def _nd_jump(s_r, soa_p):
+        from .occupancy import jump_steps
+        t = soa_p.t0 + s_r.astype(jnp.float32) * soa_p.dt
+        px = rays.origin[0] + t * soa_p.dx
+        py = rays.origin[1] + t * soa_p.dy
+        pz = rays.origin[2] + t * soa_p.dz
+        adv = jump_steps(occupancy, config.volume_shape, px, py, pz,
+                         soa_p.dt)
+        # Jumps stay within the ray (termination math must see the true
+        # head); the alive gate handles exhausted rays either way.
+        return s_r + jnp.minimum(adv, jnp.maximum(soa_p.n_samples - s_r, 0))
 
-    grp = config.supercell_group(static_sampling_rate)
-    while block % grp:
-        grp //= 2
-
-    def body_fn(state):
-        accs, b = state
-        steps = b * block + jnp.arange(block, dtype=jnp.int32)
+    def _nd_body(state, soa_p):
+        accs, s_r, it = state
+        if occupancy is not None and config.occupancy_jump_every > 1:
+            s_r = jax.lax.cond(it % config.occupancy_jump_every == 0,
+                               lambda s: _nd_jump(s, soa_p),
+                               lambda s: s, s_r)
+        elif occupancy is not None:
+            s_r = _nd_jump(s_r, soa_p)
+        steps = s_r[None, :] + arange_k[:, None]               # (K, M)
         pr, pg, pb, pa, tf_alpha, _ = _eval_block_soa(
-            vol_op, tf_op, rays.origin, soa, steps, sr, config,
+            vol_op, tf_op, rays.origin, soa_p, steps, sr, config,
             clamp_light=False, super_group=grp)
         # NOTE: the nondiff kernel has no max_samples cap (`:316`), so use
         # the pure n_samples gate rather than _eval_block_soa's in_range.
-        in_range = steps[:, None] < soa.n_samples[None]
+        in_range = steps < soa_p.n_samples[None]
         eligible = in_range & (tf_alpha > config.alpha_skip)   # `:334`
         accs, _, _ = composite_block_soa(accs, None, pr, pg, pb, pa,
                                          eligible, config, ert=True)
-        return accs, b + 1
+        return accs, s_r + block, it + 1
+
+    def _alive(accs, s_r, n_samples):
+        return (accs[3] < config.ert_threshold) & (s_r < n_samples)
 
     zero = jnp.zeros((N,), jnp.float32)
-    accs, _ = jax.lax.while_loop(cond_fn, body_fn,
-                                 ((zero, zero, zero, zero), jnp.int32(0)))
+    init = ((zero, zero, zero, zero), jnp.zeros((N,), jnp.int32),
+            jnp.int32(0))
+
+    if not config.nondiff_compaction:
+        def cond_fn(state):
+            accs, s_r, it = state
+            return ((it < n_blocks)
+                    & jnp.any(_alive(accs, s_r, soa.n_samples)))
+
+        accs, _, _ = jax.lax.while_loop(
+            cond_fn, lambda st: _nd_body(st, soa), init)
+        acc = jnp.stack(accs, axis=-1).reshape(H, W, 4)
+        return jnp.minimum(1.0, acc)
+
+    # Wavefront compaction: per-iteration cost is O(active lanes), but most
+    # rays terminate (ERT / sample exhaustion / empty space) long before
+    # the deepest ray — at the reference's sr=16 workload the march runs
+    # ~750 block iterations while the median ray needs a few dozen, and
+    # the measured wall time is iteration cost x iterations regardless of
+    # how many lanes still do useful work.  Run a STATIC phase ladder
+    # N -> N/4 -> N/16 ...: each phase marches only a compacted prefix of
+    # still-alive rays (argsort alive-first + gather) and stops as soon as
+    # the alive count fits the next phase.  Each ray executes exactly the
+    # same sample sequence — images match the plain loop to XLA fusion/
+    # reassociation noise (~1 ulp; the programs fuse differently).
+    phases = [N]
+    while phases[-1] > config.compaction_min and len(phases) < 5:
+        phases.append(phases[-1] // 4)
+    stops = phases[1:] + [0]
+
+    def make_phase(stop):
+        def cond_p(state):
+            (accs, s_r, it), soa_p = state
+            return ((it < n_blocks)
+                    & (jnp.sum(_alive(accs, s_r, soa_p.n_samples)) > stop))
+
+        def body_p(state):
+            core, soa_p = state
+            return _nd_body(core, soa_p), soa_p
+
+        return cond_p, body_p
+
+    accs, s_r, it = init
+    perm = jnp.arange(N, dtype=jnp.int32)
+    for M, stop in zip(phases, stops):
+        idx = perm[:M]
+        soa_p = _RaySoA(*(jnp.take(a, idx) for a in soa))
+        accs_p = tuple(jnp.take(a, idx) for a in accs)
+        s_r_p = jnp.take(s_r, idx)
+        cond_p, body_p = make_phase(stop)
+        ((accs_p, s_r_p, it), _) = jax.lax.while_loop(
+            cond_p, body_p, ((accs_p, s_r_p, it), soa_p))
+        accs = tuple(a.at[idx].set(ap) for a, ap in zip(accs, accs_p))
+        s_r = s_r.at[idx].set(s_r_p)
+        if M != phases[-1]:
+            alive = _alive(accs, s_r, soa.n_samples)
+            perm = jnp.argsort(~alive, stable=True).astype(jnp.int32)
     acc = jnp.stack(accs, axis=-1).reshape(H, W, 4)
     return jnp.minimum(1.0, acc)
 
@@ -557,19 +663,84 @@ def render_nondiff(
     config: RenderConfig,
     sampling_rate: Optional[float] = None,
     key: Optional[Array] = None,
+    occupancy=None,
 ) -> RenderOutput:
     """Fast inference render — one item of ``Raycaster.raycast_nondiff``
     (`/root/reference/differender/volume_raycaster.py:502-511`).  Default
     sampling rate is ``4 * config.sampling_rate`` (`:493`); jitter is off
-    unless a key is passed (the reference forces it off, `:508`)."""
+    unless a key is passed (the reference forces it off, `:508`).
+
+    With ``config.occupancy_skip`` (default), empty space is skipped via a
+    macrocell distance field — image unchanged, large speedups at high
+    sampling rates (see :mod:`differender_tpu.occupancy`).  Pass a prebuilt
+    ``occupancy`` grid to amortize the build over many views of one
+    volume+TF pair."""
     sr = 4.0 * config.sampling_rate if sampling_rate is None else sampling_rate
     volume = jnp.asarray(volume, jnp.float32)
     tf = jnp.asarray(tf, jnp.float32)
+    if occupancy is None and config.occupancy_skip:
+        from .occupancy import build_occupancy
+        occupancy = build_occupancy(volume, tf, config,
+                                    cell=config.occupancy_cell)
     rays = make_rays(look_from, config, sr, jitter_key=key)
-    img = march_nondiff(volume, tf, rays, config, sr, float(sr))
+    img = march_nondiff(volume, tf, rays, config, sr, float(sr),
+                        occupancy=occupancy)
     # raycast_nondiff never updates valid_sample_step_count (`:315-351`).
     cnt = jnp.ones(config.image_shape, jnp.int32)
     return RenderOutput(image=img, valid_steps=cnt, n_samples=rays.n_samples)
+
+
+def render_nondiff_strips(
+    volume: Array,
+    tf: Array,
+    look_from: Array,
+    config: RenderConfig,
+    sampling_rate: Optional[float] = None,
+    key: Optional[Array] = None,
+    n_strips: int = 4,
+    occupancy=None,
+) -> RenderOutput:
+    """:func:`render_nondiff` executed as ``n_strips`` independent
+    row-strip programs.
+
+    The reference's flagship inference workload (800x800 at sampling_rate
+    16, `/root/reference/examples/render_nondiff.py:20,27`) produces a
+    single program large enough to crash this stack's TPU worker
+    (BASELINE.md round 2); strip-wise execution bounds program size while
+    keeping results identical (rays are independent).  The occupancy grid
+    and ray setup are computed once and shared."""
+    sr = 4.0 * config.sampling_rate if sampling_rate is None else sampling_rate
+    H, W = config.image_shape
+    if H % n_strips:
+        raise ValueError(f"image height {H} must divide n_strips={n_strips}")
+    h = H // n_strips
+    volume = jnp.asarray(volume, jnp.float32)
+    tf = jnp.asarray(tf, jnp.float32)
+    if occupancy is None and config.occupancy_skip:
+        from .occupancy import build_occupancy
+        occupancy = jax.jit(
+            build_occupancy, static_argnames=("config", "cell")
+        )(volume, tf, config, cell=config.occupancy_cell)
+    rays = make_rays(look_from, config, sr, jitter_key=key)
+    strip_cfg = config.replace(image_shape=(h, W))
+    imgs = []
+    for s in range(n_strips):
+        sl = slice(s * h, (s + 1) * h)
+        rb = RayBundle(origin=rays.origin, dirs=rays.dirs[sl],
+                       entry=rays.entry[sl], exit=rays.exit[sl],
+                       n_samples=rays.n_samples[sl])
+        imgs.append(_march_nondiff_strip(volume, tf, rb, strip_cfg,
+                                         float(sr), occupancy))
+    img = jnp.concatenate(imgs, axis=0)
+    cnt = jnp.ones(config.image_shape, jnp.int32)
+    return RenderOutput(image=img, valid_steps=cnt, n_samples=rays.n_samples)
+
+
+@functools.partial(jax.jit, static_argnames=("config", "sampling_rate"))
+def _march_nondiff_strip(volume, tf, rays: RayBundle, config: RenderConfig,
+                         sampling_rate: float, occupancy):
+    return march_nondiff(volume, tf, rays, config, sampling_rate,
+                         sampling_rate, occupancy=occupancy)
 
 
 @functools.partial(jax.jit, static_argnames=("config", "sampling_rate", "ert"))

@@ -509,34 +509,14 @@ def _super_axis(p: Array, size: int, dshift):
     return jnp.clip(0.5 * (p + dshift) + 0.5, 0.0, 1.0) * scale
 
 
-def sample_super_parity(table: Array, volume_shape, px, py, pz,
-                        delta: float = 1e-3):
-    """Full-parity central-difference sampling from ONE 64-wide row gather
-    per sample (vs 7 rows for :func:`sample_cell_parity`): the whole
-    7-point stencil's corners fit in the 4^3 neighborhood because the
-    stencil radius ``delta*(size-1)`` is < 1 voxel.
+def _parity_eval_from_rows(rows, ux0, uxp, uxm, uy0, uyp, uym,
+                           uz0, uzp, uzm):
+    """7-point stencil evaluation against gathered 64-wide rows.
 
-    Same math/values as :func:`sample_cell_parity`.
-    Returns: intensity (...,), (gx, gy, gz) (...,).
+    Args: rows (M, 64); u* (M, 1) local coords of the center (0) and the
+    +/- delta-shifted stencil points per axis.
+    Returns (i0, ixp-ixm, iyp-iym, izp-izm), each (M,).
     """
-    X, Y, Z = volume_shape
-    d = np.float32(delta)
-    sh = px.shape
-    M = int(np.prod(sh))
-
-    def axis(p, size):
-        v0 = _super_axis(p, size, 0.0).reshape(M, 1)
-        vp = _super_axis(p, size, d).reshape(M, 1)
-        vm = _super_axis(p, size, -d).reshape(M, 1)
-        b = jnp.floor(vm)                       # min of the three cells
-        return b, v0 - b, vp - b, vm - b        # local coords in [0, 2)
-
-    bx, ux0, uxp, uxm = axis(px, X)
-    by, uy0, uyp, uym = axis(py, Y)
-    bz, uz0, uzp, uzm = axis(pz, Z)
-    base = ((bx * Y + by) * Z + bz).astype(jnp.int32)[:, 0]
-    rows = jnp.take(table, base, axis=0)                      # (M, 64)
-
     ax0, axp, axm = (_hat4(_OX4, u) for u in (ux0, uxp, uxm))
     ay0, ayp, aym = (_hat4(_OY4, u) for u in (uy0, uyp, uym))
     az0, azp, azm = (_hat4(_OZ4, u) for u in (uz0, uzp, uzm))
@@ -550,9 +530,89 @@ def sample_super_parity(table: Array, volume_shape, px, py, pz,
     iym = jnp.sum(q * (aym * az0), axis=-1)
     izp = jnp.sum(q * (ay0 * azp), axis=-1)
     izm = jnp.sum(q * (ay0 * azm), axis=-1)
-    return (i0.reshape(sh), ((ixp - ixm).reshape(sh),
-                             (iyp - iym).reshape(sh),
-                             (izp - izm).reshape(sh)))
+    return i0, ixp - ixm, iyp - iym, izp - izm
+
+
+def sample_super_parity(table: Array, volume_shape, px, py, pz,
+                        delta: float = 1e-3, group: int = 1):
+    """Full-parity central-difference sampling from ONE 64-wide row gather
+    per sample (vs 7 rows for :func:`sample_cell_parity`): the whole
+    7-point stencil's corners fit in the 4^3 neighborhood because the
+    stencil radius ``delta*(size-1)`` is < 1 voxel.
+
+    With ``group`` G > 1 (requires step-major (K, N) inputs, K % G == 0),
+    G consecutive march steps additionally share that one row — the parity
+    counterpart of :func:`sample_super_analytic`'s grouping, the round-3
+    lever that closes most of the parity/analytic cost gap (G-fold fewer
+    gather indices forward AND G-fold fewer scatter rows in the AD
+    backward).  Validity bound in :meth:`RenderConfig.supercell_group`
+    (the group span now includes the stencil diameter).
+
+    Same math/values as :func:`sample_cell_parity`.
+    Returns: intensity (...,), (gx, gy, gz) (...,).
+    """
+    X, Y, Z = volume_shape
+    d = np.float32(delta)
+    sh = px.shape
+
+    if group == 1:
+        M = int(np.prod(sh))
+
+        def axis(p, size):
+            v0 = _super_axis(p, size, 0.0).reshape(M, 1)
+            vp = _super_axis(p, size, d).reshape(M, 1)
+            vm = _super_axis(p, size, -d).reshape(M, 1)
+            b = jnp.floor(vm)                   # min of the three cells
+            return b, v0 - b, vp - b, vm - b    # local coords in [0, 2)
+
+        bx, ux0, uxp, uxm = axis(px, X)
+        by, uy0, uyp, uym = axis(py, Y)
+        bz, uz0, uzp, uzm = axis(pz, Z)
+        base = ((bx * Y + by) * Z + bz).astype(jnp.int32)[:, 0]
+        rows = jnp.take(table, base, axis=0)                  # (M, 64)
+        i0, gx, gy, gz = _parity_eval_from_rows(
+            rows, ux0, uxp, uxm, uy0, uyp, uym, uz0, uzp, uzm)
+        return i0.reshape(sh), (gx.reshape(sh), gy.reshape(sh),
+                                gz.reshape(sh))
+
+    K, N = sh
+    G = group
+    assert K % G == 0, (K, G)
+    Mg = (K // G) * N
+
+    def axis(p, size):
+        v0 = _super_axis(p, size, 0.0).reshape(K // G, G, N)
+        vp = _super_axis(p, size, d).reshape(K // G, G, N)
+        vm = _super_axis(p, size, -d).reshape(K // G, G, N)
+        b = jnp.floor(jnp.min(vm, axis=1))                    # (K/G, N)
+        bb = b[:, None]
+        return b, v0 - bb, vp - bb, vm - bb     # local coords in [0, 3)
+
+    bx, ux0, uxp, uxm = axis(px, X)
+    by, uy0, uyp, uym = axis(py, Y)
+    bz, uz0, uzp, uzm = axis(pz, Z)
+    base = ((bx * Y + by) * Z + bz).astype(jnp.int32).reshape(Mg)
+    rows = jnp.take(table, base, axis=0)                      # (Mg, 64)
+
+    outs = []
+    for m in range(G):
+        outs.append(_parity_eval_from_rows(
+            rows,
+            ux0[:, m].reshape(Mg, 1), uxp[:, m].reshape(Mg, 1),
+            uxm[:, m].reshape(Mg, 1),
+            uy0[:, m].reshape(Mg, 1), uyp[:, m].reshape(Mg, 1),
+            uym[:, m].reshape(Mg, 1),
+            uz0[:, m].reshape(Mg, 1), uzp[:, m].reshape(Mg, 1),
+            uzm[:, m].reshape(Mg, 1)))
+
+    def regroup(vals):                                        # G x (Mg,)
+        stacked = jnp.stack([v.reshape(K // G, N) for v in vals], axis=1)
+        return stacked.reshape(K, N)
+
+    return (regroup([o[0] for o in outs]),
+            (regroup([o[1] for o in outs]),
+             regroup([o[2] for o in outs]),
+             regroup([o[3] for o in outs])))
 
 
 def sample_super_analytic(table: Array, volume_shape, px, py, pz,
@@ -637,6 +697,11 @@ class SampleSpec(_NamedTuple):
     parity: bool              # central-difference (7-point) normals
     n_tiles: int              # image tiles per block (N must be tile-major)
     box: int                  # box edge BV in supercell-base units
+    check: bool = False       # runtime containment check: poison a tile's
+                              # gradient contribution with NaN when its
+                              # sample footprint exceeds the box (see
+                              # _tiled_volume_grad) instead of silently
+                              # clamping to wrong voxels
 
 
 def _tiled_volume_grad(spec: SampleSpec, bx, by, bz, d_rows, kg):
@@ -659,7 +724,13 @@ def _tiled_volume_grad(spec: SampleSpec, bx, by, bz, d_rows, kg):
     the box IS the volume and the tiling degenerates to exact global
     accumulation).  Out-of-box bases (pathological cameras / oversized
     tiles) are CLAMPED — callers must respect the documented validity
-    domain (see RenderConfig.march_vjp).
+    domain (see RenderConfig.march_vjp).  With ``spec.check`` the
+    containment claim is verified at runtime: a tile whose base span
+    exceeds the box poisons its own contribution with NaN (raising is not
+    possible under jit), so violation surfaces as NaN volume grads instead
+    of silently-misplaced gradient mass.  The check cannot false-positive:
+    bases live in [0, size-2], so a whole-volume box (BV = size-1) always
+    contains every span.
     """
     X, Y, Z = spec.volume_shape
     T = spec.n_tiles
@@ -694,6 +765,11 @@ def _tiled_volume_grad(spec: SampleSpec, bx, by, bz, d_rows, kg):
         lz = jnp.clip(tbz.reshape(-1) - oz, 0, BVz - 1)
         li = (lx * BVy + ly) * BVz + lz                    # (kg*P,)
         tbl = jnp.zeros((BVx * BVy * BVz, 64), jnp.float32).at[li].add(trw)
+        if spec.check:
+            bad = ((jnp.max(tbx) - jnp.min(tbx) >= BVx)
+                   | (jnp.max(tby) - jnp.min(tby) >= BVy)
+                   | (jnp.max(tbz) - jnp.min(tbz) >= BVz))
+            tbl = tbl * jnp.where(bad, jnp.nan, 1.0)
         tbl = tbl.reshape(BVx, BVy, BVz, 64)
         out = jnp.zeros((BVx + 3, BVy + 3, BVz + 3), jnp.float32)
         for cx in range(4):

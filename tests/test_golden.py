@@ -1,8 +1,9 @@
 """Golden-image regression tests (SURVEY §4 implication (4)).
 
-The fixtures in ``golden_renders.npz`` are exact-renderer outputs on the
-synthetic sphere (generated once; regenerate ONLY on an intentional
-semantics change and note it in the commit message)."""
+The fixtures in ``golden_renders.npz`` pin the exact, shear-warp, and
+volume-sharded renderers on the synthetic sphere (regenerate via
+``python tests/regen_golden.py`` ONLY on an intentional semantics change
+and note it in the commit message)."""
 import os
 
 import numpy as np
@@ -45,3 +46,31 @@ def test_golden_jittered():
     img = np.asarray(render(vol, tf, lf, cfg, sampling_rate=0.8,
                             key=jax.random.PRNGKey(7)).image)
     np.testing.assert_allclose(img, golden["jittered"], atol=5e-5)
+
+
+def test_golden_shearwarp():
+    """Pins the shear-warp renderer's OWN semantics (VERDICT r2 #9): any
+    drift in the factorization/classify/composite chain fails here even if
+    it stays within tolerance of the exact path."""
+    from differender_tpu.fastpath import render_fast
+    vol, cfg, tf, lf = _setup()
+    golden = np.load(GOLDEN)
+    img = np.asarray(render_fast(
+        vol, tf, lf, cfg, intermediate=32, planes_per_voxel=2.0,
+        precision=jax.lax.Precision.HIGHEST).image)
+    np.testing.assert_allclose(img, golden["shearwarp"], atol=5e-5)
+
+
+def test_golden_sharded():
+    """Pins the volume-sharded renderer (halo exchange + camera-ordered
+    segment composition) on a 4-device mesh slice."""
+    from jax.sharding import Mesh
+    from differender_tpu.parallel.volume_sharding import (
+        render_volume_sharded, shard_volume)
+    vol, cfg, tf, lf = _setup()
+    golden = np.load(GOLDEN)
+    mesh = Mesh(np.array(jax.devices()[:4]), ("space",))
+    img = np.asarray(render_volume_sharded(
+        shard_volume(np.asarray(vol), mesh), tf, lf, cfg, mesh,
+        sampling_rate=0.8).image)
+    np.testing.assert_allclose(img, golden["sharded"], atol=5e-5)

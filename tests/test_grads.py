@@ -141,9 +141,11 @@ def test_camera_grads_exist(sphere_volume):
 
 class TestTiledVJP:
     """march_vjp='tiled' (hand-written per-tile volume-grad scatter) ==
-    march_vjp='ad' for image, volume grads, and TF grads.  Image is
-    bit-exact (the tile-major reorder round-trips); grads match up to f32
-    summation-order noise."""
+    march_vjp='ad' for image, volume grads, and TF grads.  Images match to
+    f32 lane-regrouping noise (the AD path uses grouped supercell sampling
+    — several steps per row gather, summing identical values over
+    different lane patterns — while the tiled path's parity branch stays
+    ungrouped); grads match up to f32 summation-order noise."""
 
     @pytest.mark.parametrize("analytic", [True, False])
     @pytest.mark.parametrize("hw", [(16, 16), (32, 32)])
@@ -167,7 +169,7 @@ class TestTiledVJP:
         img_a = render(vol, tf, lf, cfg_ad, sampling_rate=0.7, key=key).image
         img_t = render(vol, tf, lf, cfg_t, sampling_rate=0.7, key=key).image
         np.testing.assert_allclose(np.asarray(img_t), np.asarray(img_a),
-                                   atol=1e-6)
+                                   atol=1e-5)
         gv_a, gt_a = jax.grad(loss(cfg_ad), argnums=(0, 1))(vol, tf)
         gv_t, gt_t = jax.grad(loss(cfg_t), argnums=(0, 1))(vol, tf)
         sv = float(jnp.abs(gv_a).max())
@@ -177,3 +179,45 @@ class TestTiledVJP:
         np.testing.assert_allclose(np.asarray(gt_t), np.asarray(gt_a),
                                    atol=2e-3 * max(st, 1e-9))
 
+
+
+class TestTiledVJPContainmentCheck:
+    """vjp_check: the tiled VJP must poison (NaN) instead of silently
+    clamping when a tile's sample footprint exceeds vjp_box (advisor
+    round-2 low finding)."""
+
+    def _grads(self, vol, cfg):
+        tf = jnp.asarray(get_tf("tf5", 16))
+        lf = jnp.asarray(np.array([1.3, 0.7, 2.1], np.float32))
+
+        def loss(v):
+            return jnp.sum(render(v, tf, lf, cfg, sampling_rate=0.7).image)
+
+        return np.asarray(jax.grad(loss)(vol))
+
+    def test_violation_poisons(self):
+        # 32^3 volume with an 8-voxel box and ONE 16x16 tile: the tile's
+        # rays span most of the volume -> footprint >> box.
+        from conftest import make_sphere_volume
+        vol = jnp.asarray(make_sphere_volume((32, 32, 32)))
+        cfg = RenderConfig(volume_shape=vol.shape, image_shape=(16, 16),
+                           max_samples=48, block_size=8,
+                           march_table="super64", march_vjp="tiled",
+                           vjp_tile=16, vjp_box=8, vjp_check=True)
+        gv = self._grads(vol, cfg)
+        assert np.isnan(gv).any()
+
+    def test_valid_config_stays_finite(self):
+        from conftest import make_sphere_volume
+        vol = jnp.asarray(make_sphere_volume((16, 16, 16)))
+        # Box >= volume: containment guaranteed; check must not fire.
+        cfg = RenderConfig(volume_shape=vol.shape, image_shape=(16, 16),
+                           max_samples=48, block_size=8,
+                           march_table="super64", march_vjp="tiled",
+                           vjp_tile=16, vjp_box=32, vjp_check=True)
+        gv = self._grads(vol, cfg)
+        assert np.isfinite(gv).all()
+        cfg_ad = cfg.replace(march_vjp="ad", vjp_check=False)
+        gv_ad = self._grads(vol, cfg_ad)
+        np.testing.assert_allclose(
+            gv, gv_ad, atol=2e-3 * max(float(np.abs(gv_ad).max()), 1e-9))

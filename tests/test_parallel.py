@@ -266,3 +266,86 @@ def test_fast_sharded_grads_match(sphere_volume):
                                atol=2e-5, rtol=1e-3)
     np.testing.assert_allclose(np.asarray(gt), np.asarray(gt_s),
                                atol=2e-5, rtol=1e-3)
+
+
+class TestTrainStepViews:
+    """parallel.train_step_views (VERDICT r2 #5): both modes == the plain
+    serial mean-loss gradient."""
+
+    def _problem(self, sphere_volume, B=4):
+        from differender_tpu import get_tf, render_nondiff
+        vol = jnp.asarray(sphere_volume)
+        tf = jnp.asarray(get_tf("tf5", 16))
+        cfg = RenderConfig(volume_shape=vol.shape, image_shape=(8, 8),
+                           max_samples=48, block_size=8)
+        lfs = jnp.asarray(np.stack([
+            [1.3, 0.7, 2.1], [-2.0, 0.5, 1.0],
+            [0.5, -1.5, 1.8], [2.2, 0.2, -0.8]], axis=0).astype(np.float32))
+        tgts = jnp.stack([render_nondiff(vol, tf, lf, cfg,
+                                         sampling_rate=2.0).image
+                          for lf in lfs])
+        return vol, tf, cfg, lfs[:B], tgts[:B]
+
+    @staticmethod
+    def _serial(loss_fn, vol, tf, lfs, tgts, cfg, sr):
+        from differender_tpu import render
+
+        def total(v, t):
+            losses = [loss_fn(render(v, t, lf, cfg, sr).image, tgt)
+                      for lf, tgt in zip(lfs, tgts)]
+            return jnp.mean(jnp.stack(losses))
+
+        l, g = jax.value_and_grad(total, argnums=(0, 1))(vol, tf)
+        return l, g
+
+    def test_accum_matches_serial(self, sphere_volume):
+        from differender_tpu.losses import mse_loss
+        from differender_tpu.parallel import train_step_views
+        vol, tf, cfg, lfs, tgts = self._problem(sphere_volume)
+        l0, (gv0, gt0) = self._serial(mse_loss, vol, tf, lfs, tgts, cfg, 0.7)
+        l1, (gv1, gt1) = train_step_views(
+            mse_loss, vol, tf, lfs, tgts, cfg, sampling_rate=0.7,
+            mode="accum")
+        # same math, different accumulation order -> f32 noise only
+        assert abs(float(l0) - float(l1)) < 1e-6
+        sv = max(float(jnp.abs(gv0).max()), 1e-9)
+        st = max(float(jnp.abs(gt0).max()), 1e-9)
+        np.testing.assert_allclose(np.asarray(gv1), np.asarray(gv0),
+                                   atol=1e-4 * sv)
+        np.testing.assert_allclose(np.asarray(gt1), np.asarray(gt0),
+                                   atol=1e-4 * st)
+
+    def test_shard_map_matches_serial(self, sphere_volume):
+        from differender_tpu.losses import mse_loss
+        from differender_tpu.parallel import train_step_views
+        vol, tf, cfg, lfs, tgts = self._problem(sphere_volume)
+        mesh = _mesh("views", 4)
+        l1, (gv1, gt1) = train_step_views(
+            mse_loss, vol, tf, lfs, tgts, cfg, sampling_rate=0.7,
+            mesh=mesh)
+        l0, (gv0, gt0) = self._serial(mse_loss, vol, tf, lfs, tgts, cfg, 0.7)
+        assert abs(float(l0) - float(l1)) < 1e-6
+        sv = max(float(jnp.abs(gv0).max()), 1e-9)
+        st = max(float(jnp.abs(gt0).max()), 1e-9)
+        np.testing.assert_allclose(np.asarray(gv1), np.asarray(gv0),
+                                   atol=1e-4 * sv)
+        np.testing.assert_allclose(np.asarray(gt1), np.asarray(gt0),
+                                   atol=1e-4 * st)
+
+    def test_shard_map_with_keys_local_batch(self, sphere_volume):
+        """2 views per device + jitter keys: exercises the local scan."""
+        from differender_tpu.losses import mse_loss
+        from differender_tpu.parallel import train_step_views
+        vol, tf, cfg, lfs, tgts = self._problem(sphere_volume)
+        mesh = _mesh("views", 2)
+        keys = jax.random.split(jax.random.PRNGKey(3), 4)
+        l1, (gv1, gt1) = train_step_views(
+            mse_loss, vol, tf, lfs, tgts, cfg, sampling_rate=0.7,
+            keys=keys, mesh=mesh)
+        l2, (gv2, gt2) = train_step_views(
+            mse_loss, vol, tf, lfs, tgts, cfg, sampling_rate=0.7,
+            keys=keys, mode="accum")
+        assert abs(float(l1) - float(l2)) < 1e-6
+        sv = max(float(jnp.abs(gv2).max()), 1e-9)
+        np.testing.assert_allclose(np.asarray(gv1), np.asarray(gv2),
+                                   atol=1e-4 * sv)

@@ -157,3 +157,42 @@ def test_ert_block_skip_equivalence(sphere_volume):
                       np.asarray(gv), np.asarray(gt))
     for a, b in zip(outs["skip"], outs["plain"]):
         np.testing.assert_allclose(a, b, atol=1e-6)
+
+
+def test_supercell_group_safe_under_rate_mismatch(sphere_volume):
+    """Advisor round-2 (medium): under march_table='super64' the step group
+    must derive from the TRACED sampling rate, not static_sampling_rate —
+    static=1.0 with traced=0.25 used to pick group 4 for 4x-longer steps,
+    reading hat weights outside the gathered 4x4x4 row (max image diff ~1.0).
+    Now the group comes from the traced rate (python number) or degrades to
+    1 (tracer), so the image must match the static==traced render exactly."""
+    from differender_tpu.geometry import make_rays
+    from differender_tpu.render import march_diff, march_nondiff
+
+    vol = jnp.asarray(sphere_volume)
+    tf = jnp.asarray(get_tf("tf5", 16))
+    lf = jnp.asarray(np.array([1.3, 0.7, 2.1], np.float32))
+    cfg = RenderConfig(volume_shape=vol.shape, image_shape=(8, 8),
+                       max_samples=64, block_size=8,
+                       march_table="super64", analytic_normals=True)
+    traced, static = 0.25, 1.0
+    rays = make_rays(lf, cfg, traced)
+
+    ref_acc, ref_cnt = march_diff(vol, tf, rays, cfg, traced, traced)
+    acc, cnt = march_diff(vol, tf, rays, cfg, traced, static)
+    np.testing.assert_allclose(np.asarray(acc), np.asarray(ref_acc),
+                               atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(cnt), np.asarray(ref_cnt))
+
+    # A tracer rate (no safe lower bound) must degrade to group 1 — same
+    # math, different summation grouping (f32 noise only, not the ~1.0
+    # corruption of the bug).
+    acc_tr, _ = jax.jit(
+        lambda sr: march_diff(vol, tf, rays, cfg, sr, static))(
+            jnp.float32(traced))
+    np.testing.assert_allclose(np.asarray(acc_tr), np.asarray(ref_acc),
+                               atol=1e-5)
+
+    nd_ref = march_nondiff(vol, tf, rays, cfg, traced, traced)
+    nd = march_nondiff(vol, tf, rays, cfg, traced, static)
+    np.testing.assert_allclose(np.asarray(nd), np.asarray(nd_ref), atol=1e-6)

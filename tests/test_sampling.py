@@ -71,7 +71,8 @@ class TestSupercell:
         p = p0 + s * step_scale * d
         return p[0], p[1], p[2]
 
-    def test_parity_matches_cell(self, sphere_volume):
+    @pytest.mark.parametrize("group", [1, 2, 4])
+    def test_parity_matches_cell(self, sphere_volume, group):
         import jax
         from differender_tpu.sampling import (cell_table, supercell_table,
                                               sample_cell_parity,
@@ -82,7 +83,8 @@ class TestSupercell:
         sup = supercell_table(vol)
         px, py, pz = self._ray_positions(jax.random.PRNGKey(0), 8, 64)
         i1, (a1, b1, c1) = sample_cell_parity(cell, shape, px, py, pz)
-        i2, (a2, b2, c2) = sample_super_parity(sup, shape, px, py, pz)
+        i2, (a2, b2, c2) = sample_super_parity(sup, shape, px, py, pz,
+                                               group=group)
         np.testing.assert_allclose(np.asarray(i1), np.asarray(i2), atol=1e-6)
         for u, v in ((a1, a2), (b1, b2), (c1, c2)):
             np.testing.assert_allclose(np.asarray(u), np.asarray(v),
