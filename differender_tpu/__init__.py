@@ -22,6 +22,7 @@ from .optim import (tf_momentum, project_nonneg, project_unit,
                     nan_to_num_grads, value_and_clean_grad, adamw_onecycle)
 from .utils.camera import in_circles, get_rand_pos
 from .fastpath import render_fast, render_fast_sharded, FastRenderOutput
+from .video import VideoWriter, save_video
 
 __all__ = [
     "RenderConfig", "RayBundle", "make_rays", "ray_directions", "ray_aabb",
@@ -36,4 +37,5 @@ __all__ = [
     "value_and_clean_grad", "adamw_onecycle",
     "in_circles", "get_rand_pos",
     "render_fast", "render_fast_sharded", "FastRenderOutput",
+    "VideoWriter", "save_video",
 ]

@@ -65,6 +65,7 @@ def main():
                                  get_tf, in_circles, mse_loss, tf_momentum,
                                  project_nonneg)
     from differender_tpu.plotting import plot_tfs, save_gif, save_image
+    from differender_tpu.video import VideoWriter
     from differender_tpu.raycaster import volume_to_internal
 
     os.makedirs(args.results, exist_ok=True)
@@ -87,8 +88,13 @@ def main():
             if i % 12 == 0:
                 print(f"frame {i}")
         save_gif(frames, f"{args.results}/orbit.gif", fps=12)
+        # ti.VideoManager parity (`taichi_volume_raycaster.py:559-575`):
+        # a real video container, not only a GIF preview.
+        with VideoWriter(f"{args.results}/orbit.avi", fps=12) as vw:
+            for fr in frames:
+                vw.write_frame(fr)
         save_image(frames[0], f"{args.results}/frame0.png")
-        print(f"saved {args.results}/orbit.gif")
+        print(f"saved {args.results}/orbit.gif and orbit.avi")
         return
 
     # --- backward: TF optimization -------------------------------------
@@ -117,6 +123,7 @@ def main():
         t = project_nonneg(optax.apply_updates(t, updates))
         return t, opt_state, loss, jnp.abs(grads).max(axis=0)
 
+    video = VideoWriter(f"{args.results}/optimization.avi", fps=12)
     key = jax.random.PRNGKey(0)
     for i in range(args.iterations):
         key, sub = jax.random.split(key)
@@ -129,6 +136,12 @@ def main():
             plot_tfs([(np.asarray(tf_pred), "Prediction"),
                       (np.asarray(tf_target), "Target")],
                      path=f"{args.results}/tf_comparison_{i:03d}.png")
+            video.write_frame(np.asarray(render(
+                vol, tf_pred, look_from, cfg,
+                args.bw_sampling_rate).image))
+    if video.n_frames:
+        video.close()
+        print(f"saved {args.results}/optimization.avi")
     print(f"final TF L1 vs target: "
           f"{float(jnp.abs(tf_pred - tf_target).mean()):.4f}")
 
