@@ -35,9 +35,21 @@ w.r.t. volume and TF end-to-end.
 Measured (TPU v5e, 256^3 volume -> 512^2 image, 2 planes/voxel):
 round 1: fwd 0.43 s / fwd+bwd 2.5 s at O=768 (unrolled hat-TF, HIGHEST
 precision).  Round 2 final (MXU-dot TF + HIGH precision + O=576 + the ERT
-gate/slab skip): fwd 0.22 s / **fwd+bwd 0.87 s** — and the gate tightens
+gate/slab skip): fwd 0.22 s / fwd+bwd 0.87 s — and the gate tightens
 fidelity to the exact ERT'd image (noise-scene SSIM 0.40 -> 0.57, sphere
-mae 0.0035 -> 0.0022).  512^3 -> 1024^2 renders in ~2 s.  History and
+mae 0.0035 -> 0.0022).  512^3 -> 1024^2 renders in ~2 s.  Round 3: the
+two-level hierarchical TF classify (``sampling._apply_tf_dot2_p``) plus
+slab batching (several slabs per scan step — the per-slab loop was
+op-launch-overhead-bound): fwd 0.22 -> **0.165 s**, fwd+bwd 0.83 ->
+**0.49 s** from the classify change alone (slab batching measured on
+top; see experiments/r3_tfdot2_results.jsonl and r3_slabbatch).
+
+Why not one fused Pallas slab kernel (SURVEY §7 step 3): profiling showed
+the classify stage is VPU-COMPUTE-bound (the O(R) hat-weight build per
+sample), so a Pallas port of the same math cannot beat XLA — the win had
+to be algorithmic (the two-level classify cuts per-sample work ~4x); the
+resample einsums and shading are already MXU/fused-VPU work, and the
+remaining per-slab fixed cost is addressed by slab batching.  History and
 ablations: BASELINE.md + experiments/fastpath_profile_results.jsonl.
 """
 from __future__ import annotations
@@ -89,24 +101,26 @@ def intensity_gradient_volume(volume: Array):
 
 
 def _interp_matrix(src_pos: Array, in_size: int):
-    """(O, I) linear-interpolation matrix sampling at ``src_pos`` (O,) in
-    voxel coordinates; rows outside [0, I-1] are zero (no contribution)."""
+    """(..., O, I) linear-interpolation matrix sampling at ``src_pos``
+    (..., O) in voxel coordinates; rows outside [0, I-1] are zero (no
+    contribution)."""
     lo = jnp.floor(src_pos)
     frac = src_pos - lo
     lo_i = lo.astype(jnp.int32)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (src_pos.shape[0], in_size), 1)
+    cols = jax.lax.broadcasted_iota(
+        jnp.int32, src_pos.shape + (in_size,), src_pos.ndim)
     inside = (src_pos >= 0.0) & (src_pos <= in_size - 1.0)
-    w_lo = jnp.where((cols == lo_i[:, None]) & inside[:, None],
-                     (1.0 - frac)[:, None], 0.0)
-    w_hi = jnp.where((cols == jnp.minimum(lo_i + 1, in_size - 1)[:, None])
-                     & inside[:, None], frac[:, None], 0.0)
+    w_lo = jnp.where((cols == lo_i[..., None]) & inside[..., None],
+                     (1.0 - frac)[..., None], 0.0)
+    w_hi = jnp.where((cols == jnp.minimum(lo_i + 1, in_size - 1)[..., None])
+                     & inside[..., None], frac[..., None], 0.0)
     return w_lo + w_hi
 
 
 def _core(channels: Array, tf: Array, lf: Array, light: Array,
           config: RenderConfig, intermediate: int, planes_per_voxel: float,
           precision=jax.lax.Precision.HIGH, row_offset=None,
-          n_rows: Optional[int] = None):
+          n_rows: Optional[int] = None, slab_batch: int = 4):
     """Render with the LAST axis as principal; camera z must be < -1.
 
     channels: (4, X, Y, Z) intensity+gradient (already flipped so the
@@ -212,42 +226,65 @@ def _core(channels: Array, tf: Array, lf: Array, light: Array,
     hi_slabs = jnp.moveaxis(jnp.take(channels, zhi_all, axis=3), 3, 0)
     slabs = lo_slabs * (1.0 - fz_all) + hi_slabs * fz_all       # (S,4,X,Y)
 
+    # Batch slab_batch consecutive slabs per scan step: the per-slab loop is
+    # op-launch-overhead-bound on this stack (measured ~0.13 ms/slab of
+    # fixed cost), so the heavy work (interp matrices, resample einsums,
+    # classify, shade) carries a leading batch axis while only the cheap
+    # (R, O) composite stays sequential inside the step.  Padding slabs
+    # (zw = 2.0, outside the volume) have all-zero interp rows => coverage
+    # 0 => exact no-ops.
+    B = max(1, int(slab_batch))
+    S = zws.shape[0]
+    n_chunks = -(-S // B)
+    pad = n_chunks * B - S
+    if pad:
+        zws_p = jnp.concatenate([zws, jnp.full((pad,), 2.0, jnp.float32)])
+        slabs_p = jnp.concatenate(
+            [slabs, jnp.zeros((pad,) + slabs.shape[1:], slabs.dtype)])
+    else:
+        zws_p, slabs_p = zws, slabs
+    zws_c = zws_p.reshape(n_chunks, B)
+    slabs_c = slabs_p.reshape((n_chunks, B) + slabs.shape[1:])
+
     def slab_fn(carry, x):
-        zw, slab = x
+        zw, slab = x                                   # (B,), (B, 4, X, Y)
         acc_rgb, T = carry
-        sz = (zw - lz) / (0.0 - lz)
+        sz = (zw - lz) / (0.0 - lz)                    # (B,)
         # slab sample positions in voxel coords
-        src_x = (lx + sz * (ga - lx) + 1.0) * xsc               # (O,)
-        src_y = (ly + sz * (gb - ly) + 1.0) * ysc
-        Mx = _interp_matrix(src_x, X)                           # (R, X)
-        My = _interp_matrix(src_y, Y)                           # (O, Y)
-        # (4, X, Y) -> (4, O, O): two batched matmuls on the MXU
-        tmp = jnp.einsum("ox,cxy->cyo", Mx, slab,
+        src_x = (lx + sz[:, None] * (ga[None] - lx) + 1.0) * xsc  # (B, R)
+        src_y = (ly + sz[:, None] * (gb[None] - ly) + 1.0) * ysc  # (B, O)
+        Mx = _interp_matrix(src_x, X)                  # (B, R, X)
+        My = _interp_matrix(src_y, Y)                  # (B, O, Y)
+        # (B, 4, X, Y) -> (B, 4, O, O): two batched MXU matmuls
+        tmp = jnp.einsum("box,bcxy->bcyo", Mx, slab,
                          preferred_element_type=jnp.float32,
                          precision=precision)
-        res = jnp.einsum("py,cyo->cop", My, tmp,
+        res = jnp.einsum("bpy,bcyo->bcop", My, tmp,
                          preferred_element_type=jnp.float32,
                          precision=precision)
         # In-footprint coverage: interp-matrix rows sum to 1 inside
         # [0, size-1] and to 0 outside, and the resample is separable.
-        coverage = jnp.sum(Mx, axis=1)[:, None] * jnp.sum(My, axis=1)[None, :]
-        rgb, alpha = shade_slab(res, zw, coverage)
+        coverage = (jnp.sum(Mx, axis=-1)[:, :, None]
+                    * jnp.sum(My, axis=-1)[:, None, :])          # (B, R, O)
+        rgb, alpha = jax.vmap(shade_slab)(res, zw, coverage)
         # Per-pixel early-ray termination — the reference's differentiable
         # kernel stops compositing once accumulated alpha >= 0.99
         # (`/root/reference/differender/volume_raycaster.py:267-269`); the
         # same gate here both tightens fidelity to the exact ERT'd image
-        # and makes fully-terminated slabs EXACT no-ops (enabling the
-        # runtime slab skip below).
-        active = T > np.float32(1.0 - config.ert_threshold)
-        acc_rgb = acc_rgb + jnp.where(active, T, 0.0)[..., None] * rgb
-        T = jnp.where(active, T * (1.0 - alpha), T)
+        # and makes fully-terminated slab chunks EXACT no-ops (enabling
+        # the runtime slab skip below).
+        for m in range(B):
+            active = T > np.float32(1.0 - config.ert_threshold)
+            acc_rgb = acc_rgb + jnp.where(active, T, 0.0)[..., None] * rgb[m]
+            T = jnp.where(active, T * (1.0 - alpha[m]), T)
         return (acc_rgb, T), None
 
     slab_fn = jax.checkpoint(slab_fn, prevent_cse=False)
 
     def slab_step(carry, x):
-        # Runtime skip of fully-terminated slabs (cf. render.march_diff's
-        # ERT block skip; the remat must sit inside the cond branch).
+        # Runtime skip of fully-terminated slab chunks (cf.
+        # render.march_diff's ERT block skip; the remat must sit inside
+        # the cond branch).
         _, T = carry
         alive = jnp.any(T > np.float32(1.0 - config.ert_threshold))
         return jax.lax.cond(alive, slab_fn, lambda c, _x: (c, None),
@@ -255,7 +292,7 @@ def _core(channels: Array, tf: Array, lf: Array, light: Array,
 
     acc0 = jnp.zeros((R, O, 3), jnp.float32)
     T0 = jnp.ones((R, O), jnp.float32)
-    (acc_rgb, T), _ = jax.lax.scan(slab_step, (acc0, T0), (zws, slabs))
+    (acc_rgb, T), _ = jax.lax.scan(slab_step, (acc0, T0), (zws_c, slabs_c))
     inter = jnp.concatenate([acc_rgb, (1.0 - T)[..., None]], axis=-1)
     return inter, (x0, y0, dx, dy)
 
@@ -309,6 +346,7 @@ def render_fast(
     intermediate: Optional[int] = None,
     planes_per_voxel: float = 1.0,
     precision=jax.lax.Precision.HIGH,
+    slab_batch: int = 4,
 ) -> FastRenderOutput:
     """Shear-warp fast render (see module docstring).
 
@@ -325,12 +363,13 @@ def render_fast(
             bf16 pass) is the fastest knob at visible (L-inf ~0.08) cost.
     """
     return _render_fast_impl(volume, tf, look_from, config, intermediate,
-                             planes_per_voxel, precision, spmd_axis=None)
+                             planes_per_voxel, precision, spmd_axis=None,
+                             slab_batch=slab_batch)
 
 
 def _render_fast_impl(volume, tf, look_from, config: RenderConfig,
                       intermediate, planes_per_voxel, precision,
-                      spmd_axis=None) -> FastRenderOutput:
+                      spmd_axis=None, slab_batch: int = 4) -> FastRenderOutput:
     """Shared body of :func:`render_fast` / :func:`render_fast_sharded`.
 
     With ``spmd_axis`` set (inside a ``shard_map``), each device computes a
@@ -376,7 +415,8 @@ def _render_fast_impl(volume, tf, look_from, config: RenderConfig,
             light_f = light_w[np.asarray(perm)] * flip_vec
             inter, ext = _core(chf, tf, lf_f, light_f, config, O,
                                planes_per_voxel, precision,
-                               row_offset=row0, n_rows=n_rows)
+                               row_offset=row0, n_rows=n_rows,
+                               slab_batch=slab_batch)
             if spmd_axis is not None:
                 inter = jax.lax.all_gather(inter, spmd_axis, tiled=True)
             img, hit = _warp_to_image(inter, ext, look_from, config, perm,
