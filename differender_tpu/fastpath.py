@@ -40,9 +40,11 @@ fidelity to the exact ERT'd image (noise-scene SSIM 0.40 -> 0.57, sphere
 mae 0.0035 -> 0.0022).  512^3 -> 1024^2 renders in ~2 s.  Round 3: the
 two-level hierarchical TF classify (``sampling._apply_tf_dot2_p``) plus
 slab batching (several slabs per scan step — the per-slab loop was
-op-launch-overhead-bound): fwd 0.22 -> **0.165 s**, fwd+bwd 0.83 ->
-**0.49 s** from the classify change alone (slab batching measured on
-top; see experiments/r3_tfdot2_results.jsonl and r3_slabbatch).
+op-launch-overhead-bound): classify alone fwd 0.22 -> 0.165 s / fwd+bwd
+0.83 -> 0.49 s; with slab_batch=2 (the sweep winner — larger batches
+coarsen the ERT slab skip past the op-overhead savings) fwd **0.149 s**,
+fwd+bwd **0.414 s** (experiments/r3_tfdot2_results.jsonl,
+r3_slabbatch_results.jsonl).
 
 Why not one fused Pallas slab kernel (SURVEY §7 step 3): profiling showed
 the classify stage is VPU-COMPUTE-bound (the O(R) hat-weight build per
@@ -120,7 +122,7 @@ def _interp_matrix(src_pos: Array, in_size: int):
 def _core(channels: Array, tf: Array, lf: Array, light: Array,
           config: RenderConfig, intermediate: int, planes_per_voxel: float,
           precision=jax.lax.Precision.HIGH, row_offset=None,
-          n_rows: Optional[int] = None, slab_batch: int = 4):
+          n_rows: Optional[int] = None, slab_batch: int = 2):
     """Render with the LAST axis as principal; camera z must be < -1.
 
     channels: (4, X, Y, Z) intensity+gradient (already flipped so the
@@ -346,7 +348,7 @@ def render_fast(
     intermediate: Optional[int] = None,
     planes_per_voxel: float = 1.0,
     precision=jax.lax.Precision.HIGH,
-    slab_batch: int = 4,
+    slab_batch: int = 2,
 ) -> FastRenderOutput:
     """Shear-warp fast render (see module docstring).
 
@@ -369,7 +371,7 @@ def render_fast(
 
 def _render_fast_impl(volume, tf, look_from, config: RenderConfig,
                       intermediate, planes_per_voxel, precision,
-                      spmd_axis=None, slab_batch: int = 4) -> FastRenderOutput:
+                      spmd_axis=None, slab_batch: int = 2) -> FastRenderOutput:
     """Shared body of :func:`render_fast` / :func:`render_fast_sharded`.
 
     With ``spmd_axis`` set (inside a ``shard_map``), each device computes a
