@@ -96,9 +96,16 @@ class RenderConfig:
                                      #               groups supercell_group
                                      #               consecutive steps per
                                      #               gather.  64x memory.
+                                     #   "super64s2" — stride-2 supercell
+                                     #               rows (even bases): 8x
+                                     #               less memory, whole
+                                     #               parity stencil in one
+                                     #               row, no step groups.
                                      #   "auto"    — super64 when the table
                                      #               fits super64_max_bytes
                                      #               (and semantics allow),
+                                     #               else super64s2 for
+                                     #               parity where IT fits,
                                      #               else cell8/flat per
                                      #               cell_gather.
     super64_max_bytes: int = 6 << 30
@@ -225,6 +232,17 @@ class RenderConfig:
                       * (max(self.volume_shape) - 1.0) < 1.0)
         if bytes64 <= self.super64_max_bytes and stencil_ok:
             return "super64"
+        # Stride-2 supercell fallback for PARITY at scales where the full
+        # table exceeds the gate (512^3: 4.3 GB vs 34 GB): one 64-wide row
+        # still covers the whole stencil despite the <=2-voxel even-base
+        # slack whenever span = delta*(size-1) < 1 (u < 2 + span < 3).
+        # Analytic mode sticks with cell8 (one narrow row per sample plus
+        # step grouping beats an ungroupable stride-2 row there).
+        if (not self.analytic_normals
+                and bytes64 // 8 <= self.super64_max_bytes
+                and self.normal_delta * (max(self.volume_shape) - 1.0) < 1.0
+                and all(s % 2 == 0 for s in self.volume_shape)):
+            return "super64s2"
         return "cell8" if self.cell_gather else "flat"
 
     def supercell_group(self, sampling_rate: float) -> int:

@@ -190,6 +190,20 @@ def _prep_volume(volume: Array, config: RenderConfig):
                 f"shape={config.volume_shape}); use cell8/flat or "
                 "analytic_normals")
         return kind, supercell_table(volume)
+    if kind == "super64s2":
+        from .sampling import supercell2_table
+        if config.analytic_normals:
+            raise ValueError(
+                "march_table='super64s2' is a parity-mode table (analytic "
+                "mode gets no stencil sharing from it; use super64/cell8)")
+        if (config.normal_delta * (max(config.volume_shape) - 1.0) >= 1.0
+                or any(s % 2 for s in config.volume_shape)):
+            raise ValueError(
+                "march_table='super64s2' requires even volume dims and "
+                "normal_delta*(size-1) < 1 voxel (stencil span + 2-voxel "
+                f"even-base slack must fit the 4x4x4 row); got "
+                f"delta={config.normal_delta}, shape={config.volume_shape}")
+        return kind, supercell2_table(volume)
     if kind == "cell8":
         return kind, cell_table(volume)
     return "flat", volume.reshape(-1)
@@ -243,6 +257,9 @@ def _eval_block_soa(vol_op, tf_op, origin, soa: _RaySoA, steps, sampling_rate,
         else:
             sample = functools.partial(sample_super_parity,
                                        group=super_group)
+    elif kind == "super64s2":
+        from .sampling import sample_super2_parity
+        sample = sample_super2_parity
     elif kind == "cell8":
         sample = (sample_cell_analytic if config.analytic_normals
                   else sample_cell_parity)

@@ -485,6 +485,79 @@ def supercell_table(volume: Array) -> Array:
     return jnp.stack(rows, axis=-1)
 
 
+def supercell2_table(volume: Array) -> Array:
+    """Stride-2 supercell table: (X/2 * Y/2 * Z/2, 64) rows holding the
+    4x4x4 neighborhoods of EVEN base coordinates only — 8x less memory
+    than :func:`supercell_table` (volume x8 instead of x64), at the cost
+    of quantized bases: a sample footprint fits a row iff its span plus
+    the <=2-voxel even-floor slack stays under the row's 3-cell cover.
+    The parity stencil (span ``delta*(size-1)`` voxels, ~0.5 at 512^3)
+    always fits; step groups generally don't — use stride-2 where the
+    full table exceeds HBM (512^3: 4.3 GB vs 34 GB), with group=1.
+
+    Requires even X, Y, Z.  Clamped at the upper boundary like
+    :func:`supercell_table`.
+    """
+    X, Y, Z = volume.shape
+    assert X % 2 == 0 and Y % 2 == 0 and Z % 2 == 0, (X, Y, Z)
+
+    def shift(v, ax, m):
+        if m == 0:
+            return v
+        n = v.shape[ax]
+        tail = jax.lax.slice_in_dim(v, n - 1, n, axis=ax)
+        reps = jnp.concatenate([tail] * m, axis=ax)
+        return jnp.concatenate(
+            [jax.lax.slice_in_dim(v, m, n, axis=ax), reps], axis=ax)
+
+    def even(v, ax):
+        return jax.lax.slice_in_dim(v, 0, v.shape[ax], stride=2, axis=ax)
+
+    rows = []
+    for ox in range(4):
+        vx = even(shift(volume, 0, ox), 0)
+        for oy in range(4):
+            vy = even(shift(vx, 1, oy), 1)
+            for oz in range(4):
+                rows.append(even(shift(vy, 2, oz), 2).reshape(-1))
+    return jnp.stack(rows, axis=-1)
+
+
+def sample_super2_parity(table: Array, volume_shape, px, py, pz,
+                        delta: float = 1e-3):
+    """Full-parity sampling via the stride-2 supercell table: ONE 64-wide
+    row gather per sample covering the whole 7-point stencil (vs 7 8-wide
+    rows for :func:`sample_cell_parity` — the 512^3 parity lever, where
+    the full-stride table does not fit HBM).
+
+    Validity: ``u = v - 2*floor(vm/2) < 2 + stencil_span`` must stay < 3,
+    i.e. ``delta * (size-1) < 1`` — checked by the caller
+    (``RenderConfig.resolved_march_table``).
+    Same math/values as :func:`sample_cell_parity`.
+    """
+    X, Y, Z = volume_shape
+    d = np.float32(delta)
+    sh = px.shape
+    M = int(np.prod(sh))
+
+    def axis(p, size):
+        v0 = _super_axis(p, size, 0.0).reshape(M, 1)
+        vp = _super_axis(p, size, d).reshape(M, 1)
+        vm = _super_axis(p, size, -d).reshape(M, 1)
+        b = 2.0 * jnp.floor(0.5 * jnp.floor(vm))  # even base <= floor(vm)
+        return b, v0 - b, vp - b, vm - b          # local coords in [0, 3)
+
+    bx, ux0, uxp, uxm = axis(px, X)
+    by, uy0, uyp, uym = axis(py, Y)
+    bz, uz0, uzp, uzm = axis(pz, Z)
+    base = ((bx * 0.5) * (Y // 2) + by * 0.5) * (Z // 2) + bz * 0.5
+    base = base.astype(jnp.int32)[:, 0]
+    rows = jnp.take(table, base, axis=0)                      # (M, 64)
+    i0, gx, gy, gz = _parity_eval_from_rows(
+        rows, ux0, uxp, uxm, uy0, uyp, uym, uz0, uzp, uzm)
+    return i0.reshape(sh), (gx.reshape(sh), gy.reshape(sh), gz.reshape(sh))
+
+
 def _hat4(pat: np.ndarray, u: Array) -> Array:
     """(M, 64) linear-interp weights on local coords ``u`` (M, 1) against
     the integer lane pattern ``pat`` (64,): ``max(0, 1 - |u - pat|)``.

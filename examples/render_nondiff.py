@@ -36,6 +36,13 @@ def main():
     ap.add_argument("--tf-res", type=int, default=128)
     ap.add_argument("--sampling-rate", type=float, default=16.0)
     ap.add_argument("--out", type=str, default="render.png")
+    ap.add_argument("--nifti", type=str, default=None,
+                    help="NIfTI volume (.nii/.nii.gz) — the CQ500-class "
+                         "medical format (io.load_nifti)")
+    ap.add_argument("--strips", type=int, default=4,
+                    help="execute the render as N independent row-strip "
+                         "programs (bounds TPU program size for big "
+                         "images; 1 = monolithic)")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -44,12 +51,15 @@ def main():
         jax.config.update("jax_platforms", "cpu")
     import jax
     import jax.numpy as jnp
-    from differender_tpu import RenderConfig, render_nondiff, get_tf
-    from differender_tpu.io import load_raw_volume
+    from differender_tpu import (RenderConfig, render_nondiff,
+                                 render_nondiff_strips, get_tf)
+    from differender_tpu.io import load_nifti, load_raw_volume
     from differender_tpu.plotting import save_image
     from differender_tpu.raycaster import volume_to_internal
 
-    if args.raw:
+    if args.nifti:
+        vol_dhw = load_nifti(args.nifti)
+    elif args.raw:
         vol_dhw = load_raw_volume(args.raw, tuple(args.shape))
     else:
         vol_dhw = synthetic_volume(min(args.shape))
@@ -63,8 +73,13 @@ def main():
     tf = get_tf(args.tf, args.tf_res)
     look_from = jnp.asarray(np.array([0.0, 1.0, -2.3], np.float32))
 
-    out = render_nondiff(vol, tf, look_from, cfg,
-                         sampling_rate=args.sampling_rate)
+    if args.strips > 1 and args.res % args.strips == 0:
+        out = render_nondiff_strips(vol, tf, look_from, cfg,
+                                    sampling_rate=args.sampling_rate,
+                                    n_strips=args.strips)
+    else:
+        out = render_nondiff(vol, tf, look_from, cfg,
+                             sampling_rate=args.sampling_rate)
     img = np.asarray(out.image)
     save_image(img, args.out)
     print(f"saved {args.out}  (mean alpha {img[..., 3].mean():.3f}, "

@@ -147,3 +147,59 @@ class TestSupercell:
                 render(vol, tf, lf, cfg, sampling_rate=0.7).image)
         np.testing.assert_allclose(imgs["cell8"], imgs["flat"], atol=1e-5)
         np.testing.assert_allclose(imgs["super64"], imgs["flat"], atol=1e-5)
+
+
+class TestSupercellStride2:
+    """Stride-2 supercell table (the 512^3 parity fallback) == cell-table
+    parity sampling."""
+
+    def test_matches_cell_parity(self, sphere_volume, rng):
+        from differender_tpu.sampling import (cell_table, supercell2_table,
+                                              sample_cell_parity,
+                                              sample_super2_parity)
+        vol = jnp.asarray(sphere_volume)
+        shape = vol.shape
+        cell = cell_table(vol)
+        s2 = supercell2_table(vol)
+        assert s2.shape == (shape[0] * shape[1] * shape[2] // 8, 64)
+        px, py, pz = (jnp.asarray(
+            rng.uniform(-1.05, 1.05, (4, 64)).astype(np.float32))
+            for _ in range(3))
+        i1, g1 = sample_cell_parity(cell, shape, px, py, pz)
+        i2, g2 = sample_super2_parity(s2, shape, px, py, pz)
+        np.testing.assert_allclose(np.asarray(i1), np.asarray(i2), atol=1e-6)
+        for u, v in zip(g1, g2):
+            np.testing.assert_allclose(np.asarray(u), np.asarray(v),
+                                       atol=1e-6)
+
+    def test_render_and_grads_match_cell8(self, sphere_volume):
+        import jax
+        from differender_tpu import RenderConfig, render, get_tf
+        vol = jnp.asarray(sphere_volume)
+        tf = jnp.asarray(get_tf("tf5", 16))
+        lf = jnp.asarray(np.array([1.3, 0.7, 2.1], np.float32))
+        cfg8 = RenderConfig(volume_shape=vol.shape, image_shape=(8, 8),
+                            max_samples=48, block_size=8,
+                            march_table="cell8")
+        cfg2 = cfg8.replace(march_table="super64s2")
+        r8 = render(vol, tf, lf, cfg8, sampling_rate=0.7).image
+        r2 = render(vol, tf, lf, cfg2, sampling_rate=0.7).image
+        np.testing.assert_allclose(np.asarray(r2), np.asarray(r8),
+                                   atol=1e-5)
+        g8 = jax.grad(lambda v: jnp.sum(render(
+            v, tf, lf, cfg8, sampling_rate=0.7).image))(vol)
+        g2 = jax.grad(lambda v: jnp.sum(render(
+            v, tf, lf, cfg2, sampling_rate=0.7).image))(vol)
+        sc = max(float(jnp.abs(g8).max()), 1e-9)
+        np.testing.assert_allclose(np.asarray(g2), np.asarray(g8),
+                                   atol=1e-4 * sc)
+
+    def test_auto_rule(self):
+        from differender_tpu import RenderConfig
+        big = RenderConfig(volume_shape=(512,) * 3, image_shape=(8, 8))
+        assert big.resolved_march_table() == "super64s2"
+        assert big.replace(
+            analytic_normals=True).resolved_march_table() == "cell8"
+        assert RenderConfig(volume_shape=(256,) * 3,
+                            image_shape=(8, 8)).resolved_march_table() \
+            == "super64"
