@@ -40,14 +40,31 @@ from ..render import render
 Array = jax.Array
 
 
+def _render_exact(vol, tf_, lf, config, sampling_rate, key):
+    return render(vol, tf_, lf, config, sampling_rate, key=key).image
+
+
+def _render_shearwarp(vol, tf_, lf, config, sampling_rate, key):
+    """Shear-warp view renderer (``planes_per_voxel`` reuses the sampling
+    rate as the quadrature density; jitter keys are ignored — slab
+    quadrature has no per-ray jitter)."""
+    from ..fastpath import render_fast
+    ppv = 2.0 if sampling_rate is None else max(float(sampling_rate), 0.25)
+    return render_fast(vol, tf_, lf, config, planes_per_voxel=ppv).image
+
+
+_RENDERERS = {"exact": _render_exact, "shearwarp": _render_shearwarp}
+
+
 @functools.partial(jax.jit,
                    static_argnames=("config", "sampling_rate", "loss_fn",
-                                    "with_key"))
+                                    "with_key", "renderer"))
 def _view_value_grad(volume, tf, lf, target, key, config: RenderConfig,
-                     sampling_rate, loss_fn, with_key: bool):
+                     sampling_rate, loss_fn, with_key: bool,
+                     renderer: str = "exact"):
     def f(v, t):
-        img = render(v, t, lf, config, sampling_rate,
-                     key=key if with_key else None).image
+        img = _RENDERERS[renderer](v, t, lf, config, sampling_rate,
+                                   key if with_key else None)
         return loss_fn(img, target)
 
     return jax.value_and_grad(f, argnums=(0, 1))(volume, tf)
@@ -55,7 +72,8 @@ def _view_value_grad(volume, tf, lf, target, key, config: RenderConfig,
 
 @functools.lru_cache(maxsize=None)
 def _shard_step_fn(loss_fn, config: RenderConfig, sampling_rate, mesh: Mesh,
-                   axis: str, with_keys: bool, batch: int):
+                   axis: str, with_keys: bool, batch: int,
+                   renderer: str = "exact"):
     def total(vol, tf_, lfs, tgts, ks):
         @functools.partial(
             jax.shard_map, mesh=mesh,
@@ -71,8 +89,8 @@ def _shard_step_fn(loss_fn, config: RenderConfig, sampling_rate, mesh: Mesh,
                 else:
                     lf, tgt = inp
                     k = None
-                img = render(vol_, tfl, lf, config, sampling_rate,
-                             key=k).image
+                img = _RENDERERS[renderer](vol_, tfl, lf, config,
+                                           sampling_rate, k)
                 return carry + loss_fn(img, tgt), None
 
             xs = (lfs_l, tgts_l, ks_l) if with_keys else (lfs_l, tgts_l)
@@ -97,6 +115,7 @@ def train_step_views(
     mesh: Optional[Mesh] = None,
     axis: str = "views",
     mode: str = "auto",
+    renderer: str = "exact",
 ):
     """One multi-view fwd+bwd: ``mean_i loss_fn(render(vol, tf, lf_i), t_i)``.
 
@@ -109,6 +128,9 @@ def train_step_views(
             (views sharded over ``mesh[axis]``), or "auto" (shard_map iff a
             mesh is given).  Both modes are numerically the mean-loss
             gradient; accum sums per-view grads in f32 on device.
+        renderer: "exact" (the reference-semantics march) or "shearwarp"
+            (the approximate fast path — at 512^3 scale an 8-view step
+            drops from minutes to ~20 s; fidelity per BASELINE.md).
     """
     if mode == "auto":
         mode = "shard_map" if mesh is not None else "accum"
@@ -124,7 +146,8 @@ def train_step_views(
             li, (gvi, gti) = _view_value_grad(
                 volume, tf, look_froms[i], targets[i],
                 keys[i] if keys is not None else None,
-                config, sampling_rate, loss_fn, keys is not None)
+                config, sampling_rate, loss_fn, keys is not None,
+                renderer)
             loss = loss + li
             gv = gv + gvi
             gt = gt + gti
@@ -139,6 +162,6 @@ def train_step_views(
         raise ValueError(
             f"batch {B} must divide mesh axis {axis}={mesh.shape[axis]}")
     fn = _shard_step_fn(loss_fn, config, sampling_rate, mesh, axis,
-                        keys is not None, B)
+                        keys is not None, B, renderer)
     ks = keys if keys is not None else jnp.zeros((B,), jnp.uint32)
     return fn(volume, tf, look_froms, targets, ks)

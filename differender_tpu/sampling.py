@@ -501,25 +501,31 @@ def supercell2_table(volume: Array) -> Array:
     X, Y, Z = volume.shape
     assert X % 2 == 0 and Y % 2 == 0 and Z % 2 == 0, (X, Y, Z)
 
-    def shift(v, ax, m):
-        if m == 0:
-            return v
+    def sel(v, ax, m):
+        """out[i] = v[min(2i + m, n-1)] along ``ax`` — the shift-then-
+        stride composed into ONE strided slice (+ tiny edge pad), so no
+        full-resolution shifted intermediate is ever materialized (the
+        naive form put 64 volume-sized tensors in the graph and crashed
+        the remote compiler at 512^3)."""
         n = v.shape[ax]
-        tail = jax.lax.slice_in_dim(v, n - 1, n, axis=ax)
-        reps = jnp.concatenate([tail] * m, axis=ax)
-        return jnp.concatenate(
-            [jax.lax.slice_in_dim(v, m, n, axis=ax), reps], axis=ax)
-
-    def even(v, ax):
-        return jax.lax.slice_in_dim(v, 0, v.shape[ax], stride=2, axis=ax)
+        want = n // 2
+        sl = jax.lax.slice_in_dim(v, m, n, stride=2, axis=ax)
+        cur = sl.shape[ax]
+        if cur < want:
+            tail = jax.lax.slice_in_dim(v, n - 1, n, axis=ax)
+            reps = jnp.concatenate([tail] * (want - cur), axis=ax)
+            sl = jnp.concatenate([sl, reps], axis=ax)
+        elif cur > want:
+            sl = jax.lax.slice_in_dim(sl, 0, want, axis=ax)
+        return sl
 
     rows = []
     for ox in range(4):
-        vx = even(shift(volume, 0, ox), 0)
+        vx = sel(volume, 0, ox)
         for oy in range(4):
-            vy = even(shift(vx, 1, oy), 1)
+            vy = sel(vx, 1, oy)
             for oz in range(4):
-                rows.append(even(shift(vy, 2, oz), 2).reshape(-1))
+                rows.append(sel(vy, 2, oz).reshape(-1))
     return jnp.stack(rows, axis=-1)
 
 

@@ -349,3 +349,25 @@ class TestTrainStepViews:
         sv = max(float(jnp.abs(gv2).max()), 1e-9)
         np.testing.assert_allclose(np.asarray(gv1), np.asarray(gv2),
                                    atol=1e-4 * sv)
+
+    def test_accum_shearwarp_renderer(self, sphere_volume):
+        """renderer='shearwarp' in accum mode == direct render_fast grads."""
+        from differender_tpu.fastpath import render_fast
+        from differender_tpu.losses import mse_loss
+        from differender_tpu.parallel import train_step_views
+        vol, tf, cfg, lfs, tgts = self._problem(sphere_volume, B=2)
+        l1, (gv1, gt1) = train_step_views(
+            mse_loss, vol, tf, lfs, tgts, cfg, sampling_rate=1.0,
+            mode="accum", renderer="shearwarp")
+
+        def total(v, t):
+            losses = [mse_loss(render_fast(v, t, lf, cfg,
+                                           planes_per_voxel=1.0).image, tgt)
+                      for lf, tgt in zip(lfs, tgts)]
+            return jnp.mean(jnp.stack(losses))
+
+        l0, (gv0, gt0) = jax.value_and_grad(total, argnums=(0, 1))(vol, tf)
+        assert abs(float(l0) - float(l1)) < 1e-6
+        sv = max(float(jnp.abs(gv0).max()), 1e-9)
+        np.testing.assert_allclose(np.asarray(gv1), np.asarray(gv0),
+                                   atol=1e-4 * sv)
