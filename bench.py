@@ -134,6 +134,24 @@ def _chain_bench(f, n, args=()):
     return (time.time() - t0) / n
 
 
+def _chain_samples(f, n, args=()):
+    """N *individually timed* iterations of ONE chain (one warmup).
+
+    The chain scalar carries across every sample, so no two executions —
+    within or across samples — are identical; restarting the chain per
+    sample would replay byte-identical executions that the remote-TPU
+    relay may serve from cache (CLAUDE.md rule 4)."""
+    import jax
+    import jax.numpy as jnp
+    c = jnp.float32(float(f(jnp.float32(0.0), *args)))
+    out = []
+    for _ in range(n):
+        t0 = time.time()
+        c = jnp.float32(float(f(c, *args)))
+        out.append(time.time() - t0)
+    return out
+
+
 def _phantom(vol_res):
     """CT-like structured phantom (soft body + shell + inclusion) — the
     scene class the reference's own workloads are (CQ500 CT volumes)."""
@@ -191,10 +209,10 @@ def main():
                              march_table="super64")
     cfg_analytic = cfg_exact.replace(analytic_normals=True)
 
-    # N=3 independently chained headline measurements (variance, r2 #7).
+    # N=3 individually-timed iterations of one chained run (variance,
+    # r2 #7; the chain carries across samples — see _chain_samples).
     step_f = make(cfg_exact, "grad")
-    step_samples = [_chain_bench(step_f, n=1, args=(vol_noise, tf))
-                    for _ in range(3)]
+    step_samples = _chain_samples(step_f, n=3, args=(vol_noise, tf))
     step_s = sum(step_samples) / len(step_samples)
     step_phantom_s = _chain_bench(step_f, n=1, args=(vol_phantom, tf))
     fwd_s = _chain_bench(make(cfg_exact, "fwd"), n=2, args=(vol_noise, tf))
@@ -292,6 +310,8 @@ def main():
                 ss, li = fid(v)
                 fid_out[f"shearwarp_ssim_vs_exact_{scene}"] = round(ss, 4)
                 fid_out[f"shearwarp_linf_vs_exact_{scene}"] = round(li, 4)
+                fid_out[f"shearwarp_meets_ssim_gate_{scene}"] = bool(
+                    ss >= 0.9)
         except Exception as e:
             errors["fidelity"] = f"{type(e).__name__}: {e}"[:300]
 

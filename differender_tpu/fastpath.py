@@ -233,23 +233,27 @@ def _core(channels: Array, tf: Array, lf: Array, light: Array,
     # fixed cost), so the heavy work (interp matrices, resample einsums,
     # classify, shade) carries a leading batch axis while only the cheap
     # (R, O) composite stays sequential inside the step.  Padding slabs
-    # (zw = 2.0, outside the volume) have all-zero interp rows => coverage
-    # 0 => exact no-ops.
+    # are masked no-ops via an explicit validity flag (extrapolated plane
+    # positions can re-enter the x/y footprint, and zero slab CONTENT is
+    # not zero alpha for TFs with alpha at intensity 0 — 'black'/'gray').
     B = max(1, int(slab_batch))
     S = zws.shape[0]
     n_chunks = -(-S // B)
     pad = n_chunks * B - S
+    valid = jnp.concatenate([jnp.ones((S,), jnp.float32),
+                             jnp.zeros((pad,), jnp.float32)])
     if pad:
-        zws_p = jnp.concatenate([zws, jnp.full((pad,), 2.0, jnp.float32)])
+        zws_p = jnp.concatenate([zws, jnp.full((pad,), 1.0, jnp.float32)])
         slabs_p = jnp.concatenate(
             [slabs, jnp.zeros((pad,) + slabs.shape[1:], slabs.dtype)])
     else:
         zws_p, slabs_p = zws, slabs
     zws_c = zws_p.reshape(n_chunks, B)
+    valid_c = valid.reshape(n_chunks, B)
     slabs_c = slabs_p.reshape((n_chunks, B) + slabs.shape[1:])
 
     def slab_fn(carry, x):
-        zw, slab = x                                   # (B,), (B, 4, X, Y)
+        zw, vmask, slab = x                            # (B,), (B,), (B,4,X,Y)
         acc_rgb, T = carry
         sz = (zw - lz) / (0.0 - lz)                    # (B,)
         # slab sample positions in voxel coords
@@ -268,7 +272,8 @@ def _core(channels: Array, tf: Array, lf: Array, light: Array,
         # [0, size-1] and to 0 outside, and the resample is separable.
         coverage = (jnp.sum(Mx, axis=-1)[:, :, None]
                     * jnp.sum(My, axis=-1)[:, None, :])          # (B, R, O)
-        rgb, alpha = jax.vmap(shade_slab)(res, zw, coverage)
+        rgb, alpha = jax.vmap(shade_slab)(res, zw,
+                                          coverage * vmask[:, None, None])
         # Per-pixel early-ray termination — the reference's differentiable
         # kernel stops compositing once accumulated alpha >= 0.99
         # (`/root/reference/differender/volume_raycaster.py:267-269`); the
@@ -294,7 +299,8 @@ def _core(channels: Array, tf: Array, lf: Array, light: Array,
 
     acc0 = jnp.zeros((R, O, 3), jnp.float32)
     T0 = jnp.ones((R, O), jnp.float32)
-    (acc_rgb, T), _ = jax.lax.scan(slab_step, (acc0, T0), (zws_c, slabs_c))
+    (acc_rgb, T), _ = jax.lax.scan(slab_step, (acc0, T0),
+                                   (zws_c, valid_c, slabs_c))
     inter = jnp.concatenate([acc_rgb, (1.0 - T)[..., None]], axis=-1)
     return inter, (x0, y0, dx, dy)
 

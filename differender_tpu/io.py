@@ -85,7 +85,12 @@ def load_nifti(path: str, normalize: bool = True) -> np.ndarray:
     else:
         raise ValueError(f"{path}: bad sizeof_hdr (not NIfTI-1)")
     magic = data[344:348]
-    if magic[:3] not in (b"n+1", b"ni1"):
+    if magic[:3] == b"ni1":
+        raise ValueError(
+            f"{path}: detached-header NIfTI (.hdr/.img pair, magic 'ni1') "
+            "— voxels live in the sibling .img file; convert to a "
+            "single-file .nii or pass the data through load_raw_volume")
+    if magic[:3] != b"n+1":
         raise ValueError(f"{path}: bad NIfTI magic {magic!r}")
     dim = np.frombuffer(data, f"{end}i2", 8, 40)
     ndim = int(dim[0])

@@ -160,7 +160,8 @@ def train_step_views(
         raise ValueError("mode='shard_map' requires a mesh")
     if B % mesh.shape[axis]:
         raise ValueError(
-            f"batch {B} must divide mesh axis {axis}={mesh.shape[axis]}")
+            f"mesh axis {axis}={mesh.shape[axis]} must divide the view "
+            f"batch {B}")
     fn = _shard_step_fn(loss_fn, config, sampling_rate, mesh, axis,
                         keys is not None, B, renderer)
     ks = keys if keys is not None else jnp.zeros((B,), jnp.uint32)

@@ -729,7 +729,8 @@ def render_nondiff_strips(
     sr = 4.0 * config.sampling_rate if sampling_rate is None else sampling_rate
     H, W = config.image_shape
     if H % n_strips:
-        raise ValueError(f"image height {H} must divide n_strips={n_strips}")
+        raise ValueError(
+            f"n_strips={n_strips} must divide the image height {H}")
     h = H // n_strips
     volume = jnp.asarray(volume, jnp.float32)
     tf = jnp.asarray(tf, jnp.float32)

@@ -804,12 +804,14 @@ def _tiled_volume_grad(spec: SampleSpec, bx, by, bz, d_rows, kg):
     accumulation).  Out-of-box bases (pathological cameras / oversized
     tiles) are CLAMPED — callers must respect the documented validity
     domain (see RenderConfig.march_vjp).  With ``spec.check`` the
-    containment claim is verified at runtime: a tile whose base span
-    exceeds the box poisons its own contribution with NaN (raising is not
-    possible under jit), so violation surfaces as NaN volume grads instead
-    of silently-misplaced gradient mass.  The check cannot false-positive:
-    bases live in [0, size-2], so a whole-volume box (BV = size-1) always
-    contains every span.
+    containment claim is verified at runtime: a tile whose
+    gradient-carrying base span exceeds the box poisons its own
+    contribution with NaN (raising is not possible under jit), so
+    violation surfaces as NaN volume grads instead of silently-misplaced
+    gradient mass.  Rows with exactly-zero cotangents (steps beyond a
+    ray's exit, whose clipped positions clamp toward a box corner) are
+    excluded from the span test; a whole-volume box (BV = size-1) always
+    contains every remaining span.
     """
     X, Y, Z = spec.volume_shape
     T = spec.n_tiles
@@ -845,9 +847,21 @@ def _tiled_volume_grad(spec: SampleSpec, bx, by, bz, d_rows, kg):
         li = (lx * BVy + ly) * BVz + lz                    # (kg*P,)
         tbl = jnp.zeros((BVx * BVy * BVz, 64), jnp.float32).at[li].add(trw)
         if spec.check:
-            bad = ((jnp.max(tbx) - jnp.min(tbx) >= BVx)
-                   | (jnp.max(tby) - jnp.min(tby) >= BVy)
-                   | (jnp.max(tbz) - jnp.min(tbz) >= BVz))
+            # Span test over rows that CARRY gradient only: steps past a
+            # short ray's exit have clipped positions (bases clamp toward
+            # a box corner) but exactly-zero cotangents — including them
+            # would NaN-poison valid tiles.
+            nz = jnp.any(trw != 0.0, axis=-1)              # (kg*P,)
+            big = jnp.int32(1 << 30)
+
+            def span(tb):
+                flat = tb.reshape(-1)
+                lo = jnp.min(jnp.where(nz, flat, big))
+                hi = jnp.max(jnp.where(nz, flat, -big))
+                return hi - lo                             # <0 if no nz row
+
+            bad = ((span(tbx) >= BVx) | (span(tby) >= BVy)
+                   | (span(tbz) >= BVz))
             tbl = tbl * jnp.where(bad, jnp.nan, 1.0)
         tbl = tbl.reshape(BVx, BVy, BVz, 64)
         out = jnp.zeros((BVx + 3, BVy + 3, BVz + 3), jnp.float32)

@@ -69,6 +69,9 @@ class VideoWriter:
     def close(self):
         if self._size is None:
             raise ValueError("no frames written")
+        if not self._frames:
+            raise ValueError(f"{self.path}: already closed (no frames "
+                             "buffered); create a new VideoWriter")
         h, w = self._size
         fps = max(self.fps, 1)
 

@@ -9,6 +9,7 @@ Run:  python examples/interactive_viewer.py [--cpu] [--port 8731]
 Then open http://127.0.0.1:8731/ in a browser.
 """
 import argparse
+import functools
 import io
 import json
 import os
@@ -135,11 +136,14 @@ def main():
     tf = jnp.asarray(np.asarray(get_tf(args.tf, cfg.tf_resolution)))
     occ = build_occupancy(vol, tf, cfg)
 
-    @jax.jit
-    def render_at(lf):
-        return render_nondiff(vol, tf, lf, cfg,
+    # Arrays are jit ARGUMENTS, not closure constants: captured eager
+    # jax.Arrays are fetched through the remote-TPU tunnel per constant at
+    # trace time and can fail remote compile outright (CLAUDE.md rule 2).
+    @functools.partial(jax.jit, static_argnames=())
+    def render_at(v, t, o, lf):
+        return render_nondiff(v, t, lf, cfg,
                               sampling_rate=args.sampling_rate,
-                              occupancy=occ).image
+                              occupancy=o).image
 
     served = [0]
     lock = threading.Lock()
@@ -147,7 +151,7 @@ def main():
     def render_frame(angle: float) -> bytes:
         with lock:
             lf = jnp.asarray(np.asarray(in_circles(angle), np.float32))
-            img = np.asarray(render_at(lf))
+            img = np.asarray(render_at(vol, tf, occ, lf))
             served[0] += 1
         rgb = (np.clip(img[..., :3], 0, 1) * 255 + 0.5).astype(np.uint8)
         buf = io.BytesIO()

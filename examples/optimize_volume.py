@@ -107,8 +107,10 @@ def main():
         return dssim_mse_loss(jnp.moveaxis(img, -1, 0),
                               jnp.moveaxis(tgt, -1, 0))
 
-    gt_render = jax.jit(lambda lf: render_nondiff(
-        vol_gt_j, tf, lf, cfg, args.gt_sampling_rate).image)
+    # gt volume passed as a jit ARGUMENT (CLAUDE.md rule 2: closure
+    # constants are fetched through the remote tunnel at trace time).
+    gt_render = jax.jit(lambda v, lf: render_nondiff(
+        v, tf, lf, cfg, args.gt_sampling_rate).image)
 
     # --view-mode vmap: the round-1 joint-graph step, kept for small scale.
     def loss_fn(v, lfs, keys, gts):
@@ -128,7 +130,7 @@ def main():
         return project_unit(optax.apply_updates(v, updates)), opt_state
 
     def step(v, opt_state, lfs, keys):
-        gts = jnp.stack([gt_render(lf) for lf in lfs])
+        gts = jnp.stack([gt_render(vol_gt_j, lf) for lf in lfs])
         if args.view_mode == "vmap":
             loss, grads = vmap_grads(v, lfs, keys, gts)
         else:

@@ -59,7 +59,7 @@ def run(name, v, img, sr, compact, n=1, block=32, strips=0):
             im = render_nondiff(v_, t_, lf, cfg, sampling_rate=sr).image
             return c + 1 + im.sum() * 0
     try:
-        t = chain(f, n=n, args=(v, t_ if False else tf))
+        t = chain(f, n=n, args=(v, tf))
         log(exp="r3_compaction", run=name, img=img, sr=sr, compact=compact,
             s=round(t, 4))
         return t

@@ -79,3 +79,27 @@ def test_fast_misses_are_zero(sphere_volume):
     hit = np.asarray(out.hit)
     assert (~hit).any()
     assert np.all(img[~hit] == 0.0)
+
+
+def test_slab_batch_padding_is_noop(sphere_volume):
+    """Regression (round-3 review): padding slabs in the batched scan must
+    be exact no-ops even for TFs with alpha at intensity 0 ('black') and a
+    camera geometry whose extrapolated padding-plane positions re-enter
+    the x/y footprint."""
+    import jax
+    from differender_tpu import RenderConfig, get_tf
+    from differender_tpu.fastpath import render_fast
+    vol = jnp.asarray(sphere_volume)
+    lf = np.array([1.2, 0.8, -2.0], np.float32)
+    cfg = RenderConfig(volume_shape=vol.shape, image_shape=(16, 16))
+    tfb = jnp.asarray(np.asarray(get_tf("black", 32)))
+    ppv = 63 / 32.0        # odd slab count -> padding at every batch > 1
+    P = jax.lax.Precision.HIGHEST
+    ref = render_fast(vol, tfb, lf, cfg, intermediate=32,
+                      planes_per_voxel=ppv, precision=P, slab_batch=1).image
+    for B in (2, 4):
+        img = render_fast(vol, tfb, lf, cfg, intermediate=32,
+                          planes_per_voxel=ppv, precision=P,
+                          slab_batch=B).image
+        np.testing.assert_allclose(np.asarray(img), np.asarray(ref),
+                                   atol=1e-6)
