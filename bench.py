@@ -153,17 +153,8 @@ def _chain_samples(f, n, args=()):
 
 
 def _phantom(vol_res):
-    """CT-like structured phantom (soft body + shell + inclusion) — the
-    scene class the reference's own workloads are (CQ500 CT volumes)."""
-    import numpy as np
-    xs = np.linspace(-1, 1, vol_res, dtype=np.float32)
-    gx, gy, gz = np.meshgrid(xs, xs, xs, indexing="ij")
-    rr = np.sqrt(gx * gx + gy * gy + gz * gz)
-    p = (0.8 / (1.0 + np.exp((rr - 0.55) * 40.0))
-         + 0.2 * ((rr > 0.62) & (rr < 0.68))
-         + 0.5 * (np.sqrt((gx - 0.2) ** 2 + gy ** 2 + (gz + 0.1) ** 2)
-                  < 0.15)).astype(np.float32)
-    return np.clip(p, 0.0, 1.0)
+    from differender_tpu.utils.scenes import ct_phantom
+    return ct_phantom(vol_res)
 
 
 def main():
