@@ -761,6 +761,62 @@ def _march_nondiff_strip(volume, tf, rays: RayBundle, config: RenderConfig,
                          sampling_rate, occupancy=occupancy)
 
 
+def render_strips(
+    volume: Array,
+    tf: Array,
+    look_from: Array,
+    config: RenderConfig,
+    sampling_rate: Optional[float] = None,
+    key: Optional[Array] = None,
+    n_strips: int = 4,
+    ert: bool = True,
+) -> RenderOutput:
+    """:func:`render` (differentiable) executed as ``n_strips`` independent
+    row-strip programs — identical results, bounded per-program size.
+
+    At large scales a monolithic march program can exceed this stack's
+    remote-compiler limits (measured: the 512^3 -> 1024^2 parity backward
+    crashes it; BASELINE.md round 3).  Rays are independent, so slicing
+    the image into row strips and marching each in its own jitted call is
+    exact, and ``jax.grad`` through this function compiles per-strip
+    forward/backward programs with gradient accumulation across strips.
+
+    Do NOT wrap this in an outer ``jax.jit`` — that would inline all
+    strips back into one program and forfeit the size bound.
+    """
+    sr = config.sampling_rate if sampling_rate is None else sampling_rate
+    H, W = config.image_shape
+    if H % n_strips:
+        raise ValueError(
+            f"n_strips={n_strips} must divide the image height {H}")
+    h = H // n_strips
+    volume = jnp.asarray(volume, jnp.float32)
+    tf = jnp.asarray(tf, jnp.float32)
+    rays = make_rays(look_from, config, sr, jitter_key=key)
+    strip_cfg = config.replace(image_shape=(h, W))
+    accs, cnts = [], []
+    for s in range(n_strips):
+        sl = slice(s * h, (s + 1) * h)
+        rb = RayBundle(origin=rays.origin, dirs=rays.dirs[sl],
+                       entry=rays.entry[sl], exit=rays.exit[sl],
+                       n_samples=rays.n_samples[sl])
+        acc, cnt = _march_diff_strip(volume, tf, rb, strip_cfg, float(sr),
+                                     ert)
+        accs.append(acc)
+        cnts.append(cnt)
+    return RenderOutput(image=jnp.concatenate(accs, axis=0),
+                        valid_steps=jnp.concatenate(cnts, axis=0),
+                        n_samples=rays.n_samples)
+
+
+@functools.partial(jax.jit, static_argnames=("config", "sampling_rate",
+                                             "ert"))
+def _march_diff_strip(volume, tf, rays: RayBundle, config: RenderConfig,
+                      sampling_rate: float, ert: bool):
+    return march_diff(volume, tf, rays, config, sampling_rate,
+                      sampling_rate, ert=ert)
+
+
 @functools.partial(jax.jit, static_argnames=("config", "sampling_rate", "ert"))
 def render_jit(volume, tf, look_from, config: RenderConfig,
                sampling_rate=None, key=None, ert=True):

@@ -196,3 +196,34 @@ def test_supercell_group_safe_under_rate_mismatch(sphere_volume):
     nd_ref = march_nondiff(vol, tf, rays, cfg, traced, traced)
     nd = march_nondiff(vol, tf, rays, cfg, traced, static)
     np.testing.assert_allclose(np.asarray(nd), np.asarray(nd_ref), atol=1e-6)
+
+
+def test_render_strips_matches_render(sphere_volume):
+    """Differentiable strip execution == the monolithic render (image,
+    counts, and accumulated gradients)."""
+    from differender_tpu import render_strips
+    vol = jnp.asarray(sphere_volume)
+    tf = jnp.asarray(get_tf("tf5", 16))
+    lf = jnp.asarray(np.array([1.3, 0.7, 2.1], np.float32))
+    key = jax.random.PRNGKey(5)
+    cfg = RenderConfig(volume_shape=vol.shape, image_shape=(12, 8),
+                       max_samples=48, block_size=8)
+    a = render(vol, tf, lf, cfg, sampling_rate=0.7, key=key)
+    b = render_strips(vol, tf, lf, cfg, sampling_rate=0.7, key=key,
+                      n_strips=3)
+    np.testing.assert_allclose(np.asarray(b.image), np.asarray(a.image),
+                               atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(b.valid_steps),
+                                  np.asarray(a.valid_steps))
+
+    w = jnp.asarray(np.random.default_rng(1).random((12, 8, 4), np.float32))
+    ga = jax.grad(lambda v, t: jnp.sum(render(
+        v, t, lf, cfg, sampling_rate=0.7, key=key).image * w),
+        argnums=(0, 1))(vol, tf)
+    gb = jax.grad(lambda v, t: jnp.sum(render_strips(
+        v, t, lf, cfg, sampling_rate=0.7, key=key, n_strips=3).image * w),
+        argnums=(0, 1))(vol, tf)
+    for x, y in zip(gb, ga):
+        sc = max(float(jnp.abs(y).max()), 1e-9)
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   atol=1e-5 * sc)
