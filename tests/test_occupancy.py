@@ -114,3 +114,35 @@ def test_wavefront_compaction_equivalent(sphere_volume):
         b = render_nondiff(sphere_volume, tf, lf, cfg_n,
                            sampling_rate=sr).image
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_compaction_under_vmap(sphere_volume):
+    """Batched nondiff rendering (vmap over cameras) must work with the
+    multi-phase compaction ladder (vmapped while_loops + argsort)."""
+    tf = np.asarray(get_tf("tf1", 32))
+    lfs = jnp.asarray(np.stack([[1.2, 0.8, 2.0], [-2.0, 0.5, 1.0]],
+                               axis=0).astype(np.float32))
+    cfg = RenderConfig(volume_shape=sphere_volume.shape, image_shape=(12, 12),
+                       compaction_min=32)
+    batched = jax.vmap(lambda lf: render_nondiff(
+        sphere_volume, tf, lf, cfg, sampling_rate=2.0).image)(lfs)
+    for k in range(2):
+        single = render_nondiff(sphere_volume, tf, lfs[k], cfg,
+                                sampling_rate=2.0).image
+        np.testing.assert_allclose(np.asarray(batched[k]),
+                                   np.asarray(single), atol=1e-6)
+
+
+def test_strips_with_jitter(sphere_volume):
+    """Strip execution must reproduce the jittered monolithic render (the
+    shared make_rays consumes the key once for the full image)."""
+    from differender_tpu import render_nondiff_strips
+    tf = np.asarray(get_tf("tf1", 32))
+    lf = np.array([1.2, 0.8, 2.0], np.float32)
+    cfg = RenderConfig(volume_shape=sphere_volume.shape, image_shape=(12, 12))
+    key = jax.random.PRNGKey(3)
+    a = render_nondiff(sphere_volume, tf, lf, cfg, sampling_rate=2.0,
+                       key=key).image
+    b = render_nondiff_strips(sphere_volume, tf, lf, cfg, sampling_rate=2.0,
+                              key=key, n_strips=3).image
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
