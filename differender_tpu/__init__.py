@@ -13,7 +13,8 @@ from .config import RenderConfig
 from .geometry import RayBundle, make_rays, ray_directions, ray_aabb
 from .render import (RenderOutput, render, render_nondiff, render_jit,
                      render_nondiff_jit, render_nondiff_strips,
-                     render_strips, march_diff, march_nondiff)
+                     render_strips, render_depth_sorted,
+                     march_diff, march_nondiff)
 from .raycaster import (Raycaster, volume_to_internal, volume_from_internal,
                         tf_to_internal, tf_from_internal)
 from .transfer import get_tf, get_tf_torch_layout, tex_from_pts
@@ -28,7 +29,7 @@ __all__ = [
     "RenderConfig", "RayBundle", "make_rays", "ray_directions", "ray_aabb",
     "RenderOutput", "render", "render_nondiff", "render_jit",
     "render_nondiff_jit", "render_nondiff_strips", "render_strips",
-    "march_diff",
+    "render_depth_sorted", "march_diff",
     "march_nondiff",
     "Raycaster", "volume_to_internal", "volume_from_internal",
     "tf_to_internal", "tf_from_internal",

@@ -25,6 +25,7 @@ from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .config import RenderConfig
 from .geometry import RayBundle, MarchParams, make_rays, march_params
@@ -815,6 +816,114 @@ def _march_diff_strip(volume, tf, rays: RayBundle, config: RenderConfig,
                       sampling_rate: float, ert: bool):
     return march_diff(volume, tf, rays, config, sampling_rate,
                       sampling_rate, ert=ert)
+
+
+def _predict_march_depth(volume, tf, rays: RayBundle, config: RenderConfig,
+                         coarse: int = 32):
+    """Cheap per-ray upper estimate of useful march depth, in samples.
+
+    Samples the occupancy distance field (see
+    :mod:`differender_tpu.occupancy`) at ``coarse`` points along each ray
+    (ONE small-table gather) and maps the LAST occupied coarse interval to
+    a sample index: past it every sample classifies below ``alpha_skip``.
+    This is a SORT KEY for :func:`render_depth_sorted` — it may
+    over-estimate (no ERT modeling) or slightly under-resolve (coarse
+    grid), which only costs scheduling efficiency, never correctness.
+    """
+    from .occupancy import build_occupancy
+    grid = build_occupancy(volume, tf, config, cell=config.occupancy_cell)
+    nx, ny, nz = grid.shape
+    params = march_params(rays)
+    H, W = config.image_shape
+    N = H * W
+    n_f = rays.n_samples.reshape(N).astype(jnp.float32)
+    t0 = params.t0.reshape(N)
+    dt = params.dt.reshape(N)
+    frac = (jnp.arange(coarse, dtype=jnp.float32) + 0.5) / coarse  # (C,)
+    t = t0[None] + frac[:, None] * (jnp.maximum(n_f - 1.0, 0.0)
+                                    * dt)[None]                   # (C, N)
+    dirs = rays.dirs.reshape(N, 3)
+
+    def cell_of(p, size, n):
+        v = jnp.clip(0.5 * p + 0.5, 0.0, 1.0) * np.float32(size - 1.0
+                                                           - 1e-4)
+        return jnp.clip((v / grid.cell).astype(jnp.int32), 0, n - 1)
+
+    px = rays.origin[0] + t * dirs[:, 0][None]
+    py = rays.origin[1] + t * dirs[:, 1][None]
+    pz = rays.origin[2] + t * dirs[:, 2][None]
+    ci = ((cell_of(px, config.volume_shape[0], nx) * ny
+           + cell_of(py, config.volume_shape[1], ny)) * nz
+          + cell_of(pz, config.volume_shape[2], nz))
+    occ = jnp.take(grid.dist, ci.reshape(-1)).reshape(coarse, N) == 0
+    # last occupied coarse interval (conservative: +1 interval of slack)
+    idx = jnp.arange(1, coarse + 1, dtype=jnp.float32)[:, None]
+    last = jnp.max(jnp.where(occ, idx, 0.0), axis=0)              # (C->N)
+    return jnp.minimum((last + 1.0) / coarse, 1.0) * n_f          # samples
+
+
+def render_depth_sorted(
+    volume: Array,
+    tf: Array,
+    look_from: Array,
+    config: RenderConfig,
+    sampling_rate: Optional[float] = None,
+    key: Optional[Array] = None,
+    chunks: int = 4,
+) -> RenderOutput:
+    """:func:`render` with rays SORTED by predicted march depth into
+    ``chunks`` equal groups, each marched by its own program.
+
+    The diff march's ERT block skip is global: one deep ray keeps every
+    lane marching (structured scenes pay this — the CT-phantom headline
+    config runs 2x slower than the uniform-noise scene).  Grouping rays of
+    similar predicted depth lets each chunk's skip fire at its own depth;
+    background rays (nothing occupied along them) form a chunk that
+    finishes almost immediately.  Exact: every ray marches its identical
+    sample sequence (permutation + the existing prefix-closed skip);
+    images/grads match :func:`render` to f32 fusion noise.  Like
+    :func:`render_strips`, do not wrap in an outer jit.
+    """
+    sr = config.sampling_rate if sampling_rate is None else sampling_rate
+    volume = jnp.asarray(volume, jnp.float32)
+    tf = jnp.asarray(tf, jnp.float32)
+    H, W = config.image_shape
+    N = H * W
+    if N % chunks:
+        raise ValueError(f"chunks={chunks} must divide H*W={N}")
+    M = N // chunks
+    rays = make_rays(look_from, config, sr, jitter_key=key)
+    depth = _predict_march_depth(volume, tf, rays, config)
+    order = jnp.argsort(depth).astype(jnp.int32)                  # (N,)
+
+    flat = RayBundle(
+        origin=rays.origin,
+        dirs=jnp.take(rays.dirs.reshape(N, 3), order, axis=0),
+        entry=jnp.take(rays.entry.reshape(N), order),
+        exit=jnp.take(rays.exit.reshape(N), order),
+        n_samples=jnp.take(rays.n_samples.reshape(N), order),
+    )
+    chunk_cfg = config.replace(image_shape=(M, 1))
+    accs, cnts = [], []
+    for c in range(chunks):
+        sl = slice(c * M, (c + 1) * M)
+        rb = RayBundle(origin=flat.origin,
+                       dirs=flat.dirs[sl].reshape(M, 1, 3),
+                       entry=flat.entry[sl].reshape(M, 1),
+                       exit=flat.exit[sl].reshape(M, 1),
+                       n_samples=flat.n_samples[sl].reshape(M, 1))
+        acc, cnt = _march_diff_strip(volume, tf, rb, chunk_cfg, float(sr),
+                                     True)
+        accs.append(acc.reshape(M, 4))
+        cnts.append(cnt.reshape(M))
+    acc = jnp.concatenate(accs, axis=0)
+    cnt = jnp.concatenate(cnts, axis=0)
+    inv = jnp.zeros((N,), jnp.int32).at[order].set(
+        jnp.arange(N, dtype=jnp.int32))
+    image = jnp.take(acc, inv, axis=0).reshape(H, W, 4)
+    valid = jnp.take(cnt, inv).reshape(H, W)
+    return RenderOutput(image=image, valid_steps=valid,
+                        n_samples=rays.n_samples)
 
 
 @functools.partial(jax.jit, static_argnames=("config", "sampling_rate", "ert"))
