@@ -129,11 +129,37 @@ class RenderConfig:
                                      #             Requires march_table
                                      #             super64 and image dims
                                      #             divisible by vjp_tile.
+                                     #   "sorted" — hand-written VJP: sort
+                                     #             each block's row
+                                     #             cotangents by supercell
+                                     #             base and scatter fixed
+                                     #             windows into sub-64MB
+                                     #             boxes folded straight to
+                                     #             d_volume (measured 29.4
+                                     #             vs 207.6 ns/row vs the AD
+                                     #             big-table scatter —
+                                     #             experiments/r4_scatter_
+                                     #             results.jsonl).  EXACT
+                                     #             for any base distribution
+                                     #             (runtime sub-box passes,
+                                     #             no clamping); volume/TF
+                                     #             grads exact, look_from
+                                     #             grads INCOMPLETE like
+                                     #             "tiled".  Requires
+                                     #             march_table super64.
     vjp_tile: int = 16               # image tile edge (pixels) of the tiled
                                      # VJP's scatter locality
     vjp_box: int = 32                # voxel box edge of the tiled VJP's
                                      # local accumulation (box^3 * 256 B
                                      # must stay cache-resident: 32 -> 8 MB)
+    vjp_box_rows: int = 1 << 18      # sorted-VJP box extent in supercell-
+                                     # table rows; 2^18 * 256 B = 64 MB —
+                                     # the measured allocation-size cliff
+                                     # below which TPU scatter runs ~14x
+                                     # cheaper (r4_scatter_results.jsonl)
+    vjp_window_rows: int = 1 << 17   # sorted-VJP rows per sorted window
+                                     # (one small-box scatter per window in
+                                     # the typical spatially-local case)
     vjp_check: bool = False          # tiled-VJP runtime containment check:
                                      # a tile whose sample footprint exceeds
                                      # vjp_box poisons its gradient with NaN

@@ -220,7 +220,7 @@ def _prep_tf(tf: Array, config: RenderConfig):
 def _eval_block_soa(vol_op, tf_op, origin, soa: _RaySoA, steps, sampling_rate,
                     config: RenderConfig, clamp_light: bool,
                     super_group: int = 1, tiled_volume=None,
-                    n_tiles: int = 1):
+                    n_tiles: int = 1, vjp_mode: str = "tiled"):
     """Evaluate K march steps, SoA.  Gather budget per block (the dominant
     cost on this stack is per-INDEX with strong table-size/row-width
     effects, see experiments/row_scatter_results.jsonl): with the default
@@ -238,7 +238,21 @@ def _eval_block_soa(vol_op, tf_op, origin, soa: _RaySoA, steps, sampling_rate,
     px = origin[0] + t * soa.dx[None]                       # (K, N)
     py = origin[1] + t * soa.dy[None]
     pz = origin[2] + t * soa.dz[None]
-    if kind == "super64" and tiled_volume is not None:
+    if kind == "super64" and tiled_volume is not None and vjp_mode == "sorted":
+        from .sampling import SampleSpec, sample_block_sorted
+        spec = SampleSpec(volume_shape=tuple(config.volume_shape),
+                          delta=float(config.normal_delta),
+                          group=super_group,
+                          parity=not config.analytic_normals,
+                          n_tiles=1, box=config.vjp_box,
+                          box_rows=config.vjp_box_rows,
+                          window_rows=config.vjp_window_rows)
+        _sorted_fn = functools.partial(sample_block_sorted, spec,
+                                       tiled_volume)
+
+        def sample(tbl, _shape, px_, py_, pz_, _delta):
+            return _sorted_fn(tbl, px_, py_, pz_)
+    elif kind == "super64" and tiled_volume is not None:
         from .sampling import SampleSpec, sample_block_tiled
         spec = SampleSpec(volume_shape=tuple(config.volume_shape),
                           delta=float(config.normal_delta),
@@ -393,12 +407,16 @@ def march_diff(
     sr = jnp.asarray(sampling_rate, jnp.float32)
     kind = config.resolved_march_table()
     tiled = config.march_vjp == "tiled"
+    sorted_vjp = config.march_vjp == "sorted"
     if tiled and (kind != "super64" or H % config.vjp_tile
                   or W % config.vjp_tile):
         raise ValueError(
             "march_vjp='tiled' requires march_table super64 and image dims "
             f"divisible by vjp_tile={config.vjp_tile}; got table={kind}, "
             f"image={config.image_shape}")
+    if sorted_vjp and kind != "super64":
+        raise ValueError(
+            f"march_vjp='sorted' requires march_table super64; got {kind}")
 
     if tiled:
         # Tile-major pixel order: the hand-written VJP scatters volume
@@ -425,7 +443,7 @@ def march_diff(
         soa = _ray_soa(rays, params)
 
     kind_op, vol_op = _prep_volume(volume, config)
-    if tiled:
+    if tiled or sorted_vjp:
         # All volume gradients come from the custom VJP; sever the AD path
         # through the table construction.
         vol_op = jax.lax.stop_gradient(vol_op)
@@ -439,7 +457,8 @@ def march_diff(
         pr, pg, pb, pa, _, in_range = _eval_block_soa(
             (kind_op, vol_op), tf_op, rays.origin, soa, steps, sr, config,
             clamp_light=True, super_group=grp,
-            tiled_volume=volume if tiled else None, n_tiles=n_tiles)
+            tiled_volume=volume if (tiled or sorted_vjp) else None,
+            n_tiles=n_tiles, vjp_mode=config.march_vjp)
         accs, cnt, _ = composite_block_soa(accs, cnt, pr, pg, pb, pa,
                                            in_range, config, ert=ert)
         return (accs, cnt), None

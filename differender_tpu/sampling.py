@@ -781,6 +781,9 @@ class SampleSpec(_NamedTuple):
                               # sample footprint exceeds the box (see
                               # _tiled_volume_grad) instead of silently
                               # clamping to wrong voxels
+    box_rows: int = 1 << 18   # sorted VJP: box extent in table rows (64 MB
+                              # at f32x64 — the measured scatter-price cliff)
+    window_rows: int = 1 << 17  # sorted VJP: rows per sorted window
 
 
 def _tiled_volume_grad(spec: SampleSpec, bx, by, bz, d_rows, kg):
@@ -986,6 +989,286 @@ def _sample_block_tiled_bwd(spec, res, cot):
 
 
 sample_block_tiled.defvjp(_sample_block_tiled_fwd, _sample_block_tiled_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Sorted-window march VJP (round 4): the tiled VJP's successor for the
+# HEADLINE configs, where the tiled design's per-tile fori overhead loses and
+# the plain AD scatter pays ~190-208 ns/row into the multi-100MB supercell
+# cotangent table (experiments/r4_scatter_results.jsonl: scatter pricing is
+# ALLOCATION-bound, with a measured cliff between 64 MB targets, ~14.6
+# ns/row, and >=128 MB, ~200 ns/row; sortedness/uniqueness/vmap-boxing do
+# NOT help).  Design, assembled pattern measured at 29.4 ns/row end-to-end
+# ("r4_full_block_sorted_windows") vs 207.6 for the big-table reference:
+#
+#   1. sort the block's rows by flat supercell base (1.2-1.8 ns/key) and
+#      permute the cotangent rows into that order (~10 ns/row);
+#   2. consume the sorted rows with a GLOBAL POINTER over fixed-size row
+#      slices: each pass scatters one WR-row slice into a small
+#      (box_rows, 64) box anchored at the first unplaced base — below the
+#      cliff, so the scatter runs at small-table pricing;
+#   3. fold each box straight to VOXEL space (the supercell-table transpose
+#      restricted to the box: a hierarchical 4+4+4 static shifted-add over
+#      the dz/dy/dx lane axes) and dynamic-slice-add the resulting segment
+#      into d_volume — so the scan over march blocks accumulates the CHEAP
+#      dense (X,Y,Z) buffer, never a (X*Y*Z, 64) table cotangent.
+#
+# Exactness for ANY base distribution (unlike the tiled path's documented
+# clamping footgun): a pass that cannot place its whole slice (bases span
+# past the box) leaves the tail to the next pass, whose anchor advances by
+# >= box_rows — so M/WR + ceil(C/box_rows) + 2 passes always complete, with
+# out-of-box rows contributing exactly-zero updates at clamped indices.
+# Passes after the pointer reaches the end are runtime-skipped (a lax.cond
+# that carries only the small folded segment — an earlier design that
+# threaded the d_volume accumulator through per-window conds was measured
+# to copy it each iteration, ~0.25 s/block, voiding the scatter win).
+# ---------------------------------------------------------------------------
+
+
+def _fold_box_to_segment(box: Array, E: int, Z: int, YZ: int) -> Array:
+    """Fold a (E, 64) box-local supercell cotangent table into the flat
+    voxel segment it covers.
+
+    Table row ``o + j`` lane ``(dx, dy, dz)`` (lane = dx*16 + dy*4 + dz)
+    accumulates into flat voxel ``o + j + dx*YZ + dy*Z + dz`` — the exact
+    transpose of :func:`supercell_table`'s row construction.  Returns the
+    segment of length ``E + 3*YZ + 3*Z + 3`` starting at the box anchor.
+    Hierarchical static shifts keep this at 24 row-adds instead of 64.
+    """
+    boxT = box.T                                            # (64, E)
+    a1 = jnp.zeros((16, E + 3), jnp.float32)
+    for dz in range(4):
+        a1 = a1.at[:, dz:dz + E].add(boxT[dz::4, :])        # rows dx*4+dy
+    w1 = E + 3
+    a2 = jnp.zeros((4, w1 + 3 * Z), jnp.float32)
+    for dy in range(4):
+        a2 = a2.at[:, dy * Z:dy * Z + w1].add(a1[dy::4, :])  # rows dx
+    w2 = w1 + 3 * Z
+    seg = jnp.zeros((w2 + 3 * YZ,), jnp.float32)
+    for dx in range(4):
+        seg = seg.at[dx * YZ:dx * YZ + w2].add(a2[dx, :])
+    return seg                                              # (E + apron,)
+
+
+def _sorted_volume_grad(spec: SampleSpec, base: Array, d_rows: Array):
+    """Place (M, 64) supercell-row cotangents into d_volume, sorted-window
+    style (see the block comment above).
+
+    Args:
+        base: (M,) int32 flat supercell base indices ((bx*Y + by)*Z + bz).
+        d_rows: (M, 64) f32 cotangents in the 4x4x4 row basis.
+    Returns d_volume (X, Y, Z) f32.
+    """
+    X, Y, Z = spec.volume_shape
+    YZ = Y * Z
+    C = X * YZ
+    M = base.shape[0]
+    E = min(spec.box_rows, C)                  # box extent in table rows
+    WR = min(spec.window_rows, M)              # rows per pass slice
+    NW = -(-M // WR)                           # full slices
+    S = -(-C // E)                             # anchor-advance bound
+    apron = 3 * YZ + 3 * Z + 3
+    Es = E + apron                             # folded segment length
+
+    # Dead rows (exactly-zero cotangents: steps past a ray's exit, ERT-
+    # gated steps, steps dropped by the composite gate) contribute nothing
+    # — give them a past-the-end sort key so they cluster after every live
+    # row and the pass loop STOPS at the live count without ever
+    # scattering them.  Deep blocks are often mostly dead (measured: the
+    # per-block placement cost is dominated by per-spanned-box fixed
+    # traffic, and dead clamped-position rows at the volume corners both
+    # widen the span and pad every slice).
+    alive = jnp.any(d_rows != 0.0, axis=-1)
+    key = jnp.where(alive, base, jnp.int32(C))
+    bs, pidx = jax.lax.sort_key_val(
+        key, jnp.arange(M, dtype=jnp.int32))
+    rs = jnp.take(d_rows, pidx, axis=0)
+    j_end = jnp.sum(alive.astype(jnp.int32))
+    MP = NW * WR
+    if MP > M:
+        # Padding with C keeps the key array sorted; the pass loop never
+        # reaches the pad (j_end <= M).
+        bs = jnp.concatenate(
+            [bs, jnp.full((MP - M,), C, jnp.int32)])
+        rs = jnp.concatenate(
+            [rs, jnp.zeros((MP - M, 64), jnp.float32)], axis=0)
+
+    omax = max(C - E, 0)
+    ridx = jnp.arange(WR, dtype=jnp.int32)
+    # Pass bound: every pass with unplaced rows either consumes its whole
+    # WR-row slice (<= NW + 2 such passes incl. the clamped tail) or
+    # consumes every row below anchor + E, advancing the NEXT anchor by
+    # >= E (<= ceil(C/E) = S such passes).  Strict progress is guaranteed
+    # because the anchor row itself always fits its own box.
+    T = NW + S + 2
+
+    def pass_body(_i, carry):
+        d_flat, j = carry
+
+        def active(j):
+            # Slice the next WR sorted rows; near the end the slice is
+            # clamped and re-covers placed rows — masked out by gidx >= j.
+            jc = jnp.minimum(j, MP - WR)
+            wb = jax.lax.dynamic_slice_in_dim(bs, jc, WR)
+            wr = jax.lax.dynamic_slice_in_dim(rs, jc, WR, axis=0)
+            # Anchor at the first unplaced row's base (sorted => the
+            # placed set is always the leading j rows).
+            o = jnp.clip(jax.lax.dynamic_index_in_dim(
+                wb, j - jc, keepdims=False), 0, omax)
+            li = wb - o
+            gidx = jc + ridx
+            fit = (li >= 0) & (li < E) & (gidx >= j)
+            box = jnp.zeros((E, 64), jnp.float32).at[
+                jnp.clip(li, 0, E - 1)].add(
+                jnp.where(fit[:, None], wr, 0.0))
+            seg = _fold_box_to_segment(box, E, Z, YZ)
+            # All slice rows below anchor + E are now placed; rows beyond
+            # the slice can only be below it when the slice fully fits
+            # (count == WR), in which case jc + WR is still a valid
+            # (conservative) frontier.
+            j_new = jc + jnp.sum((wb < o + E).astype(jnp.int32))
+            return seg, o, jnp.maximum(j, j_new)
+
+        def skip(j):
+            return jnp.zeros((Es,), jnp.float32), jnp.int32(0), j
+
+        # The cond carries only the small folded segment — never d_flat
+        # (threading the 64 MB accumulator through a cond was measured to
+        # copy it per iteration and void the scatter win).
+        seg, o, j = jax.lax.cond(j >= j_end, skip, active, j)
+        cur = jax.lax.dynamic_slice(d_flat, (o,), (Es,))
+        d_flat = jax.lax.dynamic_update_slice(d_flat, cur + seg, (o,))
+        return d_flat, j
+
+    d_flat, _j = jax.lax.fori_loop(
+        0, T, pass_body,
+        (jnp.zeros((C + apron,), jnp.float32), jnp.int32(0)))
+    # The apron rows collect only exactly-zero lanes (clamped-cell
+    # construction gives zero weight to voxels >= size), same argument as
+    # the tiled path's padded accumulator.
+    return d_flat[:C].reshape(X, Y, Z)
+
+
+def _super_bwd_rows(volume_shape, delta: float, parity: bool, group: int,
+                    px, py, pz, cot):
+    """Cotangent rows + bases of grouped supercell sampling.
+
+    The manual transpose of :func:`sample_super_parity` /
+    :func:`sample_super_analytic` with step-group ``group`` (the march is
+    linear in the gathered rows, so only hat weights and cotangents are
+    needed).  Returns (base (Mg,) int32 flat, d_rows (Mg, 64) f32).
+    """
+    X, Y, Z = volume_shape
+    K, N = px.shape
+    G = group
+    assert K % G == 0, (K, G)
+    kg = K // G
+    Mg = kg * N
+    d = np.float32(delta)
+    d_int, (d_gx, d_gy, d_gz) = cot
+
+    if parity:
+        def axis(p, size):
+            v0 = _super_axis(p, size, 0.0).reshape(kg, G, N)
+            vp = _super_axis(p, size, d).reshape(kg, G, N)
+            vm = _super_axis(p, size, -d).reshape(kg, G, N)
+            b = jnp.floor(jnp.min(vm, axis=1))                # (kg, N)
+            bb = b[:, None]
+            return b, v0 - bb, vp - bb, vm - bb
+
+        bx, ux0, uxp, uxm = axis(px, X)
+        by, uy0, uyp, uym = axis(py, Y)
+        bz, uz0, uzp, uzm = axis(pz, Z)
+        ci = d_int.reshape(kg, G, N)
+        cgx = d_gx.reshape(kg, G, N)
+        cgy = d_gy.reshape(kg, G, N)
+        cgz = d_gz.reshape(kg, G, N)
+        d_rows = jnp.zeros((Mg, 64), jnp.float32)
+        for m in range(G):
+            sel = (lambda a: a[:, m].reshape(Mg, 1))
+            ax0, axp, axm = (_hat4(_OX4, sel(u))
+                             for u in (ux0, uxp, uxm))
+            ay0, ayp, aym = (_hat4(_OY4, sel(u))
+                             for u in (uy0, uyp, uym))
+            az0, azp, azm = (_hat4(_OZ4, sel(u))
+                             for u in (uz0, uzp, uzm))
+            cim, cxm, cym, czm = (sel(c) for c in (ci, cgx, cgy, cgz))
+            d_rows = d_rows + (
+                (ay0 * az0) * (cim * ax0 + cxm * (axp - axm))
+                + ax0 * (az0 * (cym * (ayp - aym))
+                         + ay0 * (czm * (azp - azm))))
+    else:
+        sc = [np.float32(delta * (s - 1.0 - 1e-4)) for s in (X, Y, Z)]
+
+        def axis(p, size):
+            v = _super_axis(p, size, 0.0).reshape(kg, G, N)
+            b = jnp.floor(jnp.min(v, axis=1))
+            return b, v - b[:, None]
+
+        bx, ux = axis(px, X)
+        by, uy = axis(py, Y)
+        bz, uz = axis(pz, Z)
+        ci = d_int.reshape(kg, G, N)
+        cgx = d_gx.reshape(kg, G, N) * sc[0]
+        cgy = d_gy.reshape(kg, G, N) * sc[1]
+        cgz = d_gz.reshape(kg, G, N) * sc[2]
+        d_rows = jnp.zeros((Mg, 64), jnp.float32)
+        for m in range(G):
+            uxm = ux[:, m].reshape(Mg, 1)
+            uym = uy[:, m].reshape(Mg, 1)
+            uzm = uz[:, m].reshape(Mg, 1)
+            axv, dax = _hat4(_OX4, uxm), _dhat4(_OX4, uxm)
+            ayv, day = _hat4(_OY4, uym), _dhat4(_OY4, uym)
+            azv, daz = _hat4(_OZ4, uzm), _dhat4(_OZ4, uzm)
+            cim = ci[:, m].reshape(Mg, 1)
+            cxm = cgx[:, m].reshape(Mg, 1)
+            cym = cgy[:, m].reshape(Mg, 1)
+            czm = cgz[:, m].reshape(Mg, 1)
+            d_rows = d_rows + ((ayv * azv) * (cim * axv + cxm * dax)
+                               + axv * (azv * (cym * day)
+                                        + ayv * (czm * daz)))
+
+    base = ((bx * Y + by) * Z + bz).astype(jnp.int32).reshape(Mg)
+    return base, d_rows
+
+
+@_functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def sample_block_sorted(spec: SampleSpec, volume, table, px, py, pz):
+    """Supercell sampling with the sorted-window volume-grad VJP.
+
+    Forward = :func:`sample_super_parity` / :func:`sample_super_analytic`
+    (grouped in BOTH modes — unlike :func:`sample_block_tiled`, whose
+    parity forward is ungrouped); ``volume`` is the cotangent target only.
+    Backward places d_volume via :func:`_sorted_volume_grad` and returns
+    ZERO cotangents for table and positions (no camera gradients on this
+    path — parity with the reference, which never differentiates
+    ``compute_entry_exit``).  Callers pass ``table = stop_gradient(
+    supercell_table(volume))``.
+    """
+    if spec.parity:
+        return sample_super_parity(table, spec.volume_shape, px, py, pz,
+                                   spec.delta, group=spec.group)
+    return sample_super_analytic(table, spec.volume_shape, px, py, pz,
+                                 spec.delta, group=spec.group)
+
+
+def _sample_block_sorted_fwd(spec, volume, table, px, py, pz):
+    out = sample_block_sorted(spec, volume, table, px, py, pz)
+    return out, (px, py, pz)
+
+
+def _sample_block_sorted_bwd(spec, res, cot):
+    px, py, pz = res
+    X, Y, Z = spec.volume_shape
+    base, d_rows = _super_bwd_rows(spec.volume_shape, spec.delta,
+                                   spec.parity, spec.group, px, py, pz, cot)
+    d_volume = _sorted_volume_grad(spec, base, d_rows)
+    zero_tbl = jnp.zeros((X * Y * Z, 64), jnp.float32)
+    zp = jnp.zeros_like(px)
+    return d_volume, zero_tbl, zp, zp, zp
+
+
+sample_block_sorted.defvjp(_sample_block_sorted_fwd, _sample_block_sorted_bwd)
 
 
 def apply_tf_hat_soa(tf: Array, intensity: Array):

@@ -221,3 +221,78 @@ class TestTiledVJPContainmentCheck:
         gv_ad = self._grads(vol, cfg_ad)
         np.testing.assert_allclose(
             gv, gv_ad, atol=2e-3 * max(float(np.abs(gv_ad).max()), 1e-9))
+
+
+class TestSortedVJP:
+    """march_vjp='sorted' (sorted-window box scatter, round 4) ==
+    march_vjp='ad' for image, volume grads, and TF grads — including with
+    tiny window/box sizes that force multiple windows AND multiple runtime
+    sub-box passes per window (the exactness mechanism that replaces the
+    tiled path's clamping).  Unlike tiled, the sorted parity forward is
+    grouped exactly like the AD path, so images match to plain f32 noise."""
+
+    @pytest.mark.parametrize("analytic", [True, False])
+    @pytest.mark.parametrize("wrows,brows", [(1 << 17, 1 << 18),  # defaults
+                                             (512, 1024)])  # forced multi
+    def test_matches_ad(self, sphere_volume, analytic, wrows, brows):
+        vol = jnp.asarray(sphere_volume)
+        tf = jnp.asarray(get_tf("tf5", 16))
+        lf = jnp.asarray(np.array([1.3, 0.7, 2.1], np.float32))
+        hw = (16, 16)
+        w = jnp.asarray(np.random.default_rng(3).random(
+            hw + (4,), np.float32))
+        key = jax.random.PRNGKey(7)
+        cfg_ad = RenderConfig(volume_shape=vol.shape, image_shape=hw,
+                              max_samples=48, block_size=8,
+                              analytic_normals=analytic,
+                              march_table="super64", march_vjp="ad")
+        cfg_s = cfg_ad.replace(march_vjp="sorted", vjp_window_rows=wrows,
+                               vjp_box_rows=brows)
+
+        def loss(cfg):
+            return lambda v, t: jnp.sum(render(
+                v, t, lf, cfg, sampling_rate=0.7, key=key).image * w)
+
+        img_a = render(vol, tf, lf, cfg_ad, sampling_rate=0.7, key=key).image
+        img_s = render(vol, tf, lf, cfg_s, sampling_rate=0.7, key=key).image
+        np.testing.assert_allclose(np.asarray(img_s), np.asarray(img_a),
+                                   atol=1e-6)
+        gv_a, gt_a = jax.grad(loss(cfg_ad), argnums=(0, 1))(vol, tf)
+        gv_s, gt_s = jax.grad(loss(cfg_s), argnums=(0, 1))(vol, tf)
+        sv = float(jnp.abs(gv_a).max())
+        st = float(jnp.abs(gt_a).max())
+        np.testing.assert_allclose(np.asarray(gv_s), np.asarray(gv_a),
+                                   atol=2e-3 * max(sv, 1e-9))
+        np.testing.assert_allclose(np.asarray(gt_s), np.asarray(gt_a),
+                                   atol=2e-3 * max(st, 1e-9))
+
+    def test_uneven_dims_and_jitter(self):
+        """Non-cubic volume (distinct Y/Z strides in the fold) + jittered
+        rays + window size not dividing the row count (padding path)."""
+        rng = np.random.default_rng(11)
+        vol = jnp.asarray(rng.random((24, 20, 16), np.float32))
+        tf = jnp.asarray(get_tf("tf1", 32))
+        lf = jnp.asarray(np.array([-1.1, 0.9, 1.7], np.float32))
+        key = jax.random.PRNGKey(3)
+        cfg_ad = RenderConfig(volume_shape=(24, 20, 16), image_shape=(12, 12),
+                              tf_resolution=32, max_samples=48, block_size=8,
+                              march_table="super64", march_vjp="ad")
+        cfg_s = cfg_ad.replace(march_vjp="sorted", vjp_window_rows=448,
+                               vjp_box_rows=1536)
+
+        def loss(cfg):
+            return lambda v: jnp.sum(render(
+                v, tf, lf, cfg, sampling_rate=0.9, key=key).image ** 2)
+
+        gv_a = jax.grad(loss(cfg_ad))(vol)
+        gv_s = jax.grad(loss(cfg_s))(vol)
+        sv = float(jnp.abs(gv_a).max())
+        np.testing.assert_allclose(np.asarray(gv_s), np.asarray(gv_a),
+                                   atol=2e-3 * max(sv, 1e-9))
+
+    def test_requires_super64(self):
+        cfg = RenderConfig(volume_shape=(16, 16, 16), image_shape=(8, 8),
+                           march_table="cell8", march_vjp="sorted")
+        with pytest.raises(ValueError, match="sorted"):
+            render(jnp.zeros((16, 16, 16)), jnp.zeros((128, 4)),
+                   jnp.asarray(np.array([1.0, 0.5, 2.0], np.float32)), cfg)
