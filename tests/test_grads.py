@@ -296,3 +296,27 @@ class TestSortedVJP:
         with pytest.raises(ValueError, match="sorted"):
             render(jnp.zeros((16, 16, 16)), jnp.zeros((128, 4)),
                    jnp.asarray(np.array([1.0, 0.5, 2.0], np.float32)), cfg)
+
+    def test_vmap_batched_grads(self, sphere_volume):
+        """The sorted VJP composes with vmap (the Raycaster's batched
+        training path): per-view grads of a vmapped multi-view loss match
+        the serial per-view grads."""
+        vol = jnp.asarray(sphere_volume)
+        tf = jnp.asarray(get_tf("tf1", 16))
+        lfs = jnp.asarray(np.array([[1.3, 0.7, 2.1], [-1.0, 1.1, 1.8]],
+                                   np.float32))
+        cfg = RenderConfig(volume_shape=vol.shape, image_shape=(12, 12),
+                           tf_resolution=16, max_samples=32, block_size=8,
+                           march_table="super64", march_vjp="sorted",
+                           vjp_window_rows=512, vjp_box_rows=1024)
+
+        def view_loss(v, lf):
+            return jnp.mean(render(v, tf, lf, cfg,
+                                   sampling_rate=0.8).image ** 2)
+
+        gv_b = jax.grad(lambda v: jnp.sum(
+            jax.vmap(lambda lf: view_loss(v, lf))(lfs)))(vol)
+        gv_s = sum(jax.grad(view_loss)(vol, lfs[i]) for i in range(2))
+        sv = float(jnp.abs(gv_s).max())
+        np.testing.assert_allclose(np.asarray(gv_b), np.asarray(gv_s),
+                                   atol=2e-3 * max(sv, 1e-9))
