@@ -238,33 +238,27 @@ def _eval_block_soa(vol_op, tf_op, origin, soa: _RaySoA, steps, sampling_rate,
     px = origin[0] + t * soa.dx[None]                       # (K, N)
     py = origin[1] + t * soa.dy[None]
     pz = origin[2] + t * soa.dz[None]
-    if kind == "super64" and tiled_volume is not None and vjp_mode == "sorted":
-        from .sampling import SampleSpec, sample_block_sorted
+    if kind == "super64" and tiled_volume is not None:
+        from .sampling import (SampleSpec, sample_block_sorted,
+                               sample_block_tiled)
+        # The tiled parity forward is ungrouped (group 1); sorted is
+        # grouped in both modes, exactly like the AD path.
+        sorted_mode = vjp_mode == "sorted"
+        hand_fn = sample_block_sorted if sorted_mode else sample_block_tiled
         spec = SampleSpec(volume_shape=tuple(config.volume_shape),
                           delta=float(config.normal_delta),
-                          group=super_group,
-                          parity=not config.analytic_normals,
-                          n_tiles=1, box=config.vjp_box,
-                          box_rows=config.vjp_box_rows,
-                          window_rows=config.vjp_window_rows)
-        _sorted_fn = functools.partial(sample_block_sorted, spec,
-                                       tiled_volume)
-
-        def sample(tbl, _shape, px_, py_, pz_, _delta):
-            return _sorted_fn(tbl, px_, py_, pz_)
-    elif kind == "super64" and tiled_volume is not None:
-        from .sampling import SampleSpec, sample_block_tiled
-        spec = SampleSpec(volume_shape=tuple(config.volume_shape),
-                          delta=float(config.normal_delta),
-                          group=(super_group if config.analytic_normals
+                          group=(super_group
+                                 if (sorted_mode or config.analytic_normals)
                                  else 1),
                           parity=not config.analytic_normals,
                           n_tiles=n_tiles, box=config.vjp_box,
-                          check=config.vjp_check)
-        _tiled_fn = functools.partial(sample_block_tiled, spec, tiled_volume)
+                          check=config.vjp_check,
+                          box_rows=config.vjp_box_rows,
+                          window_rows=config.vjp_window_rows)
+        _hand_fn = functools.partial(hand_fn, spec, tiled_volume)
 
         def sample(tbl, _shape, px_, py_, pz_, _delta):
-            return _tiled_fn(tbl, px_, py_, pz_)
+            return _hand_fn(tbl, px_, py_, pz_)
     elif kind == "super64":
         if config.analytic_normals:
             sample = functools.partial(sample_super_analytic,

@@ -913,76 +913,16 @@ def _sample_block_tiled_fwd(spec, volume, table, px, py, pz):
 
 def _sample_block_tiled_bwd(spec, res, cot):
     px, py, pz = res
-    d_int, (d_gx, d_gy, d_gz) = cot
     X, Y, Z = spec.volume_shape
     K, N = px.shape
-    d = np.float32(spec.delta)
-
-    if spec.parity:
-        def axis(p, size):
-            v0 = _super_axis(p, size, 0.0).reshape(-1, 1)
-            vp = _super_axis(p, size, d).reshape(-1, 1)
-            vm = _super_axis(p, size, -d).reshape(-1, 1)
-            b = jnp.floor(vm)
-            return b, v0 - b, vp - b, vm - b
-
-        bx, ux0, uxp, uxm = axis(px, X)
-        by, uy0, uyp, uym = axis(py, Y)
-        bz, uz0, uzp, uzm = axis(pz, Z)
-        ax0, axp, axm = (_hat4(_OX4, u) for u in (ux0, uxp, uxm))
-        ay0, ayp, aym = (_hat4(_OY4, u) for u in (uy0, uyp, uym))
-        az0, azp, azm = (_hat4(_OZ4, u) for u in (uz0, uzp, uzm))
-        ci = d_int.reshape(-1, 1)
-        cx = d_gx.reshape(-1, 1)
-        cy = d_gy.reshape(-1, 1)
-        cz = d_gz.reshape(-1, 1)
-        d_rows = ((ay0 * az0) * (ci * ax0 + cx * (axp - axm))
-                  + ax0 * (az0 * (cy * (ayp - aym))
-                           + ay0 * (cz * (azp - azm))))
-        kg = K
-        d_rows = d_rows.reshape(kg, N, 64)
-        bx = bx.reshape(kg, N).astype(jnp.int32)
-        by = by.reshape(kg, N).astype(jnp.int32)
-        bz = bz.reshape(kg, N).astype(jnp.int32)
-    else:
-        G = spec.group
-        kg = K // G
-        Mg = kg * N
-        sc = [np.float32(spec.delta * (s - 1.0 - 1e-4)) for s in (X, Y, Z)]
-
-        def axis(p, size):
-            v = _super_axis(p, size, 0.0).reshape(kg, G, N)
-            b = jnp.floor(jnp.min(v, axis=1))
-            return b, v - b[:, None]
-
-        bxg, ux = axis(px, X)
-        byg, uy = axis(py, Y)
-        bzg, uz = axis(pz, Z)
-        ci = d_int.reshape(kg, G, N)
-        cgx = d_gx.reshape(kg, G, N) * sc[0]
-        cgy = d_gy.reshape(kg, G, N) * sc[1]
-        cgz = d_gz.reshape(kg, G, N) * sc[2]
-        d_rows = jnp.zeros((Mg, 64), jnp.float32)
-        for m in range(G):
-            uxm = ux[:, m].reshape(Mg, 1)
-            uym = uy[:, m].reshape(Mg, 1)
-            uzm = uz[:, m].reshape(Mg, 1)
-            axv, dax = _hat4(_OX4, uxm), _dhat4(_OX4, uxm)
-            ayv, day = _hat4(_OY4, uym), _dhat4(_OY4, uym)
-            azv, daz = _hat4(_OZ4, uzm), _dhat4(_OZ4, uzm)
-            cim = ci[:, m].reshape(Mg, 1)
-            cxm = cgx[:, m].reshape(Mg, 1)
-            cym = cgy[:, m].reshape(Mg, 1)
-            czm = cgz[:, m].reshape(Mg, 1)
-            d_rows = d_rows + ((ayv * azv) * (cim * axv + cxm * dax)
-                               + axv * (azv * (cym * day)
-                                        + ayv * (czm * daz)))
-        d_rows = d_rows.reshape(kg, N, 64)
-        bx = bxg.astype(jnp.int32)
-        by = byg.astype(jnp.int32)
-        bz = bzg.astype(jnp.int32)
-
-    d_volume = _tiled_volume_grad(spec, bx, by, bz, d_rows, kg)
+    # The tiled parity FORWARD is ungrouped (sample_super_parity default
+    # group 1), so its transpose must be too; analytic is grouped.
+    group = 1 if spec.parity else spec.group
+    kg = K // group
+    bx, by, bz, d_rows = _super_bwd_rows(
+        spec.volume_shape, spec.delta, spec.parity, group, px, py, pz, cot)
+    d_volume = _tiled_volume_grad(spec, bx, by, bz,
+                                  d_rows.reshape(kg, N, 64), kg)
     zero_tbl = jnp.zeros((X * Y * Z, 64), jnp.float32)
     zp = jnp.zeros_like(px)
     return d_volume, zero_tbl, zp, zp, zp
@@ -1156,7 +1096,11 @@ def _super_bwd_rows(volume_shape, delta: float, parity: bool, group: int,
     The manual transpose of :func:`sample_super_parity` /
     :func:`sample_super_analytic` with step-group ``group`` (the march is
     linear in the gathered rows, so only hat weights and cotangents are
-    needed).  Returns (base (Mg,) int32 flat, d_rows (Mg, 64) f32).
+    needed).  The single shared transpose behind BOTH hand-written VJPs:
+    the tiled backward passes ``group=1`` in parity mode (its parity
+    forward is ungrouped) and its configured group in analytic mode; the
+    sorted backward is grouped in both.  Returns
+    (bx, by, bz (kg, N) int32 supercell bases, d_rows (Mg, 64) f32).
     """
     X, Y, Z = volume_shape
     K, N = px.shape
@@ -1228,8 +1172,8 @@ def _super_bwd_rows(volume_shape, delta: float, parity: bool, group: int,
                                + axv * (azv * (cym * day)
                                         + ayv * (czm * daz)))
 
-    base = ((bx * Y + by) * Z + bz).astype(jnp.int32).reshape(Mg)
-    return base, d_rows
+    return (bx.astype(jnp.int32), by.astype(jnp.int32),
+            bz.astype(jnp.int32), d_rows)
 
 
 @_functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
@@ -1260,8 +1204,10 @@ def _sample_block_sorted_fwd(spec, volume, table, px, py, pz):
 def _sample_block_sorted_bwd(spec, res, cot):
     px, py, pz = res
     X, Y, Z = spec.volume_shape
-    base, d_rows = _super_bwd_rows(spec.volume_shape, spec.delta,
-                                   spec.parity, spec.group, px, py, pz, cot)
+    bx, by, bz, d_rows = _super_bwd_rows(
+        spec.volume_shape, spec.delta, spec.parity, spec.group,
+        px, py, pz, cot)
+    base = ((bx * Y + by) * Z + bz).reshape(d_rows.shape[0])
     d_volume = _sorted_volume_grad(spec, base, d_rows)
     zero_tbl = jnp.zeros((X * Y * Z, 64), jnp.float32)
     zp = jnp.zeros_like(px)
