@@ -294,12 +294,18 @@ class RenderConfig:
         step_vox = 1.5 * s_max / (2.0 * sampling_rate * self.vol_diag)
         stencil_vox = (0.0 if self.analytic_normals
                        else self.normal_delta * s_max)
+        # Stride-2 tables quantize the base to even coordinates, which
+        # costs ONE extra voxel of slack vs the stride-1 floor bound:
+        # total span + 2 must stay < 3, i.e. span < 1 (at 512^3 / sr=1
+        # that admits G=2 — half the round-3 per-sample gather count).
+        span_max = (1.0 if self.resolved_march_table() == "super64s2"
+                    else 2.0)
         # High sampling rates step a small fraction of a voxel, so MANY
         # consecutive samples share one row — at the reference's
         # sampling_rate=16 inference workload a single 64-wide gather
         # serves 32+ samples (the round-3 lever for high-rate marches).
         for g in (64, 32, 16, 8, 4, 2):
-            if ((g - 1) * step_vox + stencil_vox < 2.0
+            if ((g - 1) * step_vox + stencil_vox < span_max
                     and self.block_size % g == 0):
                 return g
         return 1

@@ -268,7 +268,7 @@ def _eval_block_soa(vol_op, tf_op, origin, soa: _RaySoA, steps, sampling_rate,
                                        group=super_group)
     elif kind == "super64s2":
         from .sampling import sample_super2_parity
-        sample = sample_super2_parity
+        sample = functools.partial(sample_super2_parity, group=super_group)
     elif kind == "cell8":
         sample = (sample_cell_analytic if config.analytic_normals
                   else sample_cell_parity)

@@ -530,38 +530,35 @@ def supercell2_table(volume: Array) -> Array:
 
 
 def sample_super2_parity(table: Array, volume_shape, px, py, pz,
-                        delta: float = 1e-3):
+                        delta: float = 1e-3, group: int = 1):
     """Full-parity sampling via the stride-2 supercell table: ONE 64-wide
     row gather per sample covering the whole 7-point stencil (vs 7 8-wide
     rows for :func:`sample_cell_parity` — the 512^3 parity lever, where
     the full-stride table does not fit HBM).
 
-    Validity: ``u = v - 2*floor(vm/2) < 2 + stencil_span`` must stay < 3,
-    i.e. ``delta * (size-1) < 1`` — checked by the caller
-    (``RenderConfig.resolved_march_table``).
+    Validity (group 1): ``u = v - 2*floor(vm/2) < 2 + stencil_span`` must
+    stay < 3, i.e. ``delta * (size-1) < 1`` — checked by the caller
+    (``RenderConfig.resolved_march_table``).  With ``group`` G > 1
+    (step-major (K, N) inputs), G consecutive march steps share one row;
+    the even-floor slack costs one extra voxel vs the stride-1 bound, so
+    the group span must satisfy ``(G-1)*step + stencil_diam < 1`` voxel
+    (:meth:`RenderConfig.supercell_group` applies this tighter bound for
+    stride-2 tables) — at 512^3 / sampling_rate 1 that admits G=2, i.e.
+    HALF the gather indices forward and half the AD scatter rows backward
+    relative to the round-3 per-sample stride-2 march.
     Same math/values as :func:`sample_cell_parity`.
     """
     X, Y, Z = volume_shape
-    d = np.float32(delta)
-    sh = px.shape
-    M = int(np.prod(sh))
 
-    def axis(p, size):
-        v0 = _super_axis(p, size, 0.0).reshape(M, 1)
-        vp = _super_axis(p, size, d).reshape(M, 1)
-        vm = _super_axis(p, size, -d).reshape(M, 1)
-        b = 2.0 * jnp.floor(0.5 * jnp.floor(vm))  # even base <= floor(vm)
-        return b, v0 - b, vp - b, vm - b          # local coords in [0, 3)
+    def base_of(v):
+        return 2.0 * jnp.floor(0.5 * jnp.floor(v))  # even base <= floor(v)
 
-    bx, ux0, uxp, uxm = axis(px, X)
-    by, uy0, uyp, uym = axis(py, Y)
-    bz, uz0, uzp, uzm = axis(pz, Z)
-    base = ((bx * 0.5) * (Y // 2) + by * 0.5) * (Z // 2) + bz * 0.5
-    base = base.astype(jnp.int32)[:, 0]
-    rows = jnp.take(table, base, axis=0)                      # (M, 64)
-    i0, gx, gy, gz = _parity_eval_from_rows(
-        rows, ux0, uxp, uxm, uy0, uyp, uym, uz0, uzp, uzm)
-    return i0.reshape(sh), (gx.reshape(sh), gy.reshape(sh), gz.reshape(sh))
+    def flat_of(bx, by, bz):
+        return (((bx * 0.5) * (Y // 2) + by * 0.5) * (Z // 2)
+                + bz * 0.5).astype(jnp.int32)
+
+    return _super_parity_core(table, volume_shape, px, py, pz,
+                              np.float32(delta), group, base_of, flat_of)
 
 
 def _hat4(pat: np.ndarray, u: Array) -> Array:
@@ -631,7 +628,21 @@ def sample_super_parity(table: Array, volume_shape, px, py, pz,
     Returns: intensity (...,), (gx, gy, gz) (...,).
     """
     X, Y, Z = volume_shape
-    d = np.float32(delta)
+
+    def flat_of(bx, by, bz):
+        return ((bx * Y + by) * Z + bz).astype(jnp.int32)
+
+    return _super_parity_core(table, volume_shape, px, py, pz,
+                              np.float32(delta), group, jnp.floor, flat_of)
+
+
+def _super_parity_core(table, volume_shape, px, py, pz, d, group,
+                       base_of, flat_of):
+    """Shared gather/eval core of :func:`sample_super_parity` (stride 1)
+    and :func:`sample_super2_parity` (stride 2): ``base_of`` maps the
+    per-axis minimum stencil coordinate to the row base coordinate,
+    ``flat_of`` maps base coordinates to the table's flat row index."""
+    X, Y, Z = volume_shape
     sh = px.shape
 
     if group == 1:
@@ -641,13 +652,13 @@ def sample_super_parity(table: Array, volume_shape, px, py, pz,
             v0 = _super_axis(p, size, 0.0).reshape(M, 1)
             vp = _super_axis(p, size, d).reshape(M, 1)
             vm = _super_axis(p, size, -d).reshape(M, 1)
-            b = jnp.floor(vm)                   # min of the three cells
-            return b, v0 - b, vp - b, vm - b    # local coords in [0, 2)
+            b = base_of(vm)                     # min of the three cells
+            return b, v0 - b, vp - b, vm - b    # local coords in [0, 2|3)
 
         bx, ux0, uxp, uxm = axis(px, X)
         by, uy0, uyp, uym = axis(py, Y)
         bz, uz0, uzp, uzm = axis(pz, Z)
-        base = ((bx * Y + by) * Z + bz).astype(jnp.int32)[:, 0]
+        base = flat_of(bx, by, bz)[:, 0]
         rows = jnp.take(table, base, axis=0)                  # (M, 64)
         i0, gx, gy, gz = _parity_eval_from_rows(
             rows, ux0, uxp, uxm, uy0, uyp, uym, uz0, uzp, uzm)
@@ -663,14 +674,14 @@ def sample_super_parity(table: Array, volume_shape, px, py, pz,
         v0 = _super_axis(p, size, 0.0).reshape(K // G, G, N)
         vp = _super_axis(p, size, d).reshape(K // G, G, N)
         vm = _super_axis(p, size, -d).reshape(K // G, G, N)
-        b = jnp.floor(jnp.min(vm, axis=1))                    # (K/G, N)
+        b = base_of(jnp.min(vm, axis=1))                      # (K/G, N)
         bb = b[:, None]
         return b, v0 - bb, vp - bb, vm - bb     # local coords in [0, 3)
 
     bx, ux0, uxp, uxm = axis(px, X)
     by, uy0, uyp, uym = axis(py, Y)
     bz, uz0, uzp, uzm = axis(pz, Z)
-    base = ((bx * Y + by) * Z + bz).astype(jnp.int32).reshape(Mg)
+    base = flat_of(bx, by, bz).reshape(Mg)
     rows = jnp.take(table, base, axis=0)                      # (Mg, 64)
 
     outs = []

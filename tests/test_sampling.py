@@ -172,6 +172,32 @@ class TestSupercellStride2:
             np.testing.assert_allclose(np.asarray(u), np.asarray(v),
                                        atol=1e-6)
 
+    @pytest.mark.parametrize("group", [2, 4])
+    def test_grouped_matches_cell_parity(self, sphere_volume, group):
+        """Step-grouped stride-2 sampling (group span + even-floor slack
+        within the 4-point row cover) == per-sample cell-table parity."""
+        import jax
+        from differender_tpu.sampling import (cell_table, supercell2_table,
+                                              sample_cell_parity,
+                                              sample_super2_parity)
+        vol = jnp.asarray(sphere_volume)
+        shape = vol.shape
+        cell = cell_table(vol)
+        s2 = supercell2_table(vol)
+        k1, k2 = jax.random.split(jax.random.PRNGKey(5))
+        p0 = jax.random.uniform(k1, (3, 1, 64), jnp.float32) * 1.6 - 0.8
+        d = jax.random.normal(k2, (3, 1, 64), jnp.float32)
+        d = d / jnp.linalg.norm(d, axis=0, keepdims=True)
+        s = jnp.arange(8, dtype=jnp.float32).reshape(1, 8, 1)
+        p = p0 + s * 0.005 * d
+        px, py, pz = p[0], p[1], p[2]
+        i1, g1 = sample_cell_parity(cell, shape, px, py, pz)
+        i2, g2 = sample_super2_parity(s2, shape, px, py, pz, group=group)
+        np.testing.assert_allclose(np.asarray(i1), np.asarray(i2), atol=1e-6)
+        for u, v in zip(g1, g2):
+            np.testing.assert_allclose(np.asarray(u), np.asarray(v),
+                                       atol=1e-6)
+
     def test_render_and_grads_match_cell8(self, sphere_volume):
         import jax
         from differender_tpu import RenderConfig, render, get_tf
