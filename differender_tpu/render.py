@@ -238,13 +238,17 @@ def _eval_block_soa(vol_op, tf_op, origin, soa: _RaySoA, steps, sampling_rate,
     px = origin[0] + t * soa.dx[None]                       # (K, N)
     py = origin[1] + t * soa.dy[None]
     pz = origin[2] + t * soa.dz[None]
-    if kind == "super64" and tiled_volume is not None:
+    if kind in ("super64", "super64s2") and tiled_volume is not None:
         from .sampling import (SampleSpec, sample_block_sorted,
-                               sample_block_tiled)
+                               sample_block_sorted2, sample_block_tiled)
         # The tiled parity forward is ungrouped (group 1); sorted is
         # grouped in both modes, exactly like the AD path.
         sorted_mode = vjp_mode == "sorted"
-        hand_fn = sample_block_sorted if sorted_mode else sample_block_tiled
+        if kind == "super64s2":
+            hand_fn = sample_block_sorted2      # march_diff validates mode
+        else:
+            hand_fn = (sample_block_sorted if sorted_mode
+                       else sample_block_tiled)
         spec = SampleSpec(volume_shape=tuple(config.volume_shape),
                           delta=float(config.normal_delta),
                           group=(super_group
@@ -254,7 +258,8 @@ def _eval_block_soa(vol_op, tf_op, origin, soa: _RaySoA, steps, sampling_rate,
                           n_tiles=n_tiles, box=config.vjp_box,
                           check=config.vjp_check,
                           box_rows=config.vjp_box_rows,
-                          window_rows=config.vjp_window_rows)
+                          window_rows=config.vjp_window_rows,
+                          stride2=kind == "super64s2")
         _hand_fn = functools.partial(hand_fn, spec, tiled_volume)
 
         def sample(tbl, _shape, px_, py_, pz_, _delta):
@@ -408,9 +413,10 @@ def march_diff(
             "march_vjp='tiled' requires march_table super64 and image dims "
             f"divisible by vjp_tile={config.vjp_tile}; got table={kind}, "
             f"image={config.image_shape}")
-    if sorted_vjp and kind != "super64":
+    if sorted_vjp and kind not in ("super64", "super64s2"):
         raise ValueError(
-            f"march_vjp='sorted' requires march_table super64; got {kind}")
+            "march_vjp='sorted' requires march_table super64 or "
+            f"super64s2; got {kind}")
 
     if tiled:
         # Tile-major pixel order: the hand-written VJP scatters volume

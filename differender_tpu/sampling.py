@@ -795,6 +795,9 @@ class SampleSpec(_NamedTuple):
     box_rows: int = 1 << 18   # sorted VJP: box extent in table rows (64 MB
                               # at f32x64 — the measured scatter-price cliff)
     window_rows: int = 1 << 17  # sorted VJP: rows per sorted window
+    stride2: bool = False     # sorted VJP over the stride-2 table: keys
+                              # are even-base indices kappa with
+                              # voxel = 2*kappa + lane offset
 
 
 def _tiled_volume_grad(spec: SampleSpec, bx, by, bz, d_rows, kg):
@@ -1001,25 +1004,60 @@ def _fold_box_to_segment(box: Array, E: int, Z: int, YZ: int) -> Array:
     return seg                                              # (E + apron,)
 
 
+def _fold_box_to_segment2(box: Array, E: int, Z: int, YZ: int) -> Array:
+    """Stride-2 :func:`_fold_box_to_segment`: box row ``j`` lane
+    ``(dx, dy, dz)`` accumulates into segment position
+    ``2*j + dx*YZ + dy*Z + dz`` (the box index is the even-base index
+    kappa, and voxel = 2*kappa + lane offset).  The doubled row stride is
+    realized by an (E+1, 2) interleave at the z level; the y/x levels are
+    the stride-1 fold.  Returns the segment of length
+    ``2*E + 2 + 3*YZ + 3*Z``.
+    """
+    boxT = box.T                                            # (64, E)
+    a1 = jnp.zeros((16, E + 1, 2), jnp.float32)
+    for dz in range(4):
+        # slot (j + dz//2, dz%2) flattens to 2*j + dz
+        a1 = a1.at[:, dz // 2:dz // 2 + E, dz % 2].add(boxT[dz::4, :])
+    a1 = a1.reshape(16, 2 * E + 2)
+    w1 = 2 * E + 2
+    a2 = jnp.zeros((4, w1 + 3 * Z), jnp.float32)
+    for dy in range(4):
+        a2 = a2.at[:, dy * Z:dy * Z + w1].add(a1[dy::4, :])
+    w2 = w1 + 3 * Z
+    seg = jnp.zeros((w2 + 3 * YZ,), jnp.float32)
+    for dx in range(4):
+        seg = seg.at[dx * YZ:dx * YZ + w2].add(a2[dx, :])
+    return seg
+
+
 def _sorted_volume_grad(spec: SampleSpec, base: Array, d_rows: Array):
     """Place (M, 64) supercell-row cotangents into d_volume, sorted-window
     style (see the block comment above).
 
     Args:
-        base: (M,) int32 flat supercell base indices ((bx*Y + by)*Z + bz).
+        base: (M,) int32 row keys — flat supercell base indices
+            ``(bx*Y + by)*Z + bz`` for the stride-1 table, or even-base
+            indices ``kappa = (bx/2)*YZ + (by/2)*Z + bz/2`` (so that
+            voxel = 2*kappa + lane offset) when ``spec.stride2``.
         d_rows: (M, 64) f32 cotangents in the 4x4x4 row basis.
     Returns d_volume (X, Y, Z) f32.
     """
     X, Y, Z = spec.volume_shape
     YZ = Y * Z
     C = X * YZ
+    Ck = C // 2 if spec.stride2 else C         # key range (dead key = Ck)
     M = base.shape[0]
-    E = min(spec.box_rows, C)                  # box extent in table rows
+    E = min(spec.box_rows, Ck)                 # box extent in key space
     WR = min(spec.window_rows, M)              # rows per pass slice
     NW = -(-M // WR)                           # full slices
-    S = -(-C // E)                             # anchor-advance bound
+    S = -(-Ck // E)                            # anchor-advance bound
     apron = 3 * YZ + 3 * Z + 3
-    Es = E + apron                             # folded segment length
+    if spec.stride2:
+        fold, vox_of = _fold_box_to_segment2, (lambda o: 2 * o)
+        Es = 2 * E + 2 + 3 * YZ + 3 * Z        # folded segment length
+    else:
+        fold, vox_of = _fold_box_to_segment, (lambda o: o)
+        Es = E + apron
 
     # Dead rows (exactly-zero cotangents: steps past a ray's exit, ERT-
     # gated steps, steps dropped by the composite gate) contribute nothing
@@ -1030,21 +1068,21 @@ def _sorted_volume_grad(spec: SampleSpec, base: Array, d_rows: Array):
     # traffic, and dead clamped-position rows at the volume corners both
     # widen the span and pad every slice).
     alive = jnp.any(d_rows != 0.0, axis=-1)
-    key = jnp.where(alive, base, jnp.int32(C))
+    key = jnp.where(alive, base, jnp.int32(Ck))
     bs, pidx = jax.lax.sort_key_val(
         key, jnp.arange(M, dtype=jnp.int32))
     rs = jnp.take(d_rows, pidx, axis=0)
     j_end = jnp.sum(alive.astype(jnp.int32))
     MP = NW * WR
     if MP > M:
-        # Padding with C keeps the key array sorted; the pass loop never
+        # Padding with Ck keeps the key array sorted; the pass loop never
         # reaches the pad (j_end <= M).
         bs = jnp.concatenate(
-            [bs, jnp.full((MP - M,), C, jnp.int32)])
+            [bs, jnp.full((MP - M,), Ck, jnp.int32)])
         rs = jnp.concatenate(
             [rs, jnp.zeros((MP - M, 64), jnp.float32)], axis=0)
 
-    omax = max(C - E, 0)
+    omax = max(Ck - E, 0)
     ridx = jnp.arange(WR, dtype=jnp.int32)
     # Pass bound: every pass with unplaced rows either consumes its whole
     # WR-row slice (<= NW + 2 such passes incl. the clamped tail) or
@@ -1072,7 +1110,7 @@ def _sorted_volume_grad(spec: SampleSpec, base: Array, d_rows: Array):
             box = jnp.zeros((E, 64), jnp.float32).at[
                 jnp.clip(li, 0, E - 1)].add(
                 jnp.where(fit[:, None], wr, 0.0))
-            seg = _fold_box_to_segment(box, E, Z, YZ)
+            seg = fold(box, E, Z, YZ)
             # All slice rows below anchor + E are now placed; rows beyond
             # the slice can only be below it when the slice fully fits
             # (count == WR), in which case jc + WR is still a valid
@@ -1087,8 +1125,9 @@ def _sorted_volume_grad(spec: SampleSpec, base: Array, d_rows: Array):
         # (threading the 64 MB accumulator through a cond was measured to
         # copy it per iteration and void the scatter win).
         seg, o, j = jax.lax.cond(j >= j_end, skip, active, j)
-        cur = jax.lax.dynamic_slice(d_flat, (o,), (Es,))
-        d_flat = jax.lax.dynamic_update_slice(d_flat, cur + seg, (o,))
+        ov = vox_of(o)
+        cur = jax.lax.dynamic_slice(d_flat, (ov,), (Es,))
+        d_flat = jax.lax.dynamic_update_slice(d_flat, cur + seg, (ov,))
         return d_flat, j
 
     d_flat, _j = jax.lax.fori_loop(
@@ -1101,7 +1140,7 @@ def _sorted_volume_grad(spec: SampleSpec, base: Array, d_rows: Array):
 
 
 def _super_bwd_rows(volume_shape, delta: float, parity: bool, group: int,
-                    px, py, pz, cot):
+                    px, py, pz, cot, base_of=jnp.floor):
     """Cotangent rows + bases of grouped supercell sampling.
 
     The manual transpose of :func:`sample_super_parity` /
@@ -1110,7 +1149,9 @@ def _super_bwd_rows(volume_shape, delta: float, parity: bool, group: int,
     needed).  The single shared transpose behind BOTH hand-written VJPs:
     the tiled backward passes ``group=1`` in parity mode (its parity
     forward is ungrouped) and its configured group in analytic mode; the
-    sorted backward is grouped in both.  Returns
+    sorted backward is grouped in both.  ``base_of`` is the forward's
+    base mapping (floor for stride 1; even-floor for the stride-2
+    table).  Returns
     (bx, by, bz (kg, N) int32 supercell bases, d_rows (Mg, 64) f32).
     """
     X, Y, Z = volume_shape
@@ -1127,7 +1168,7 @@ def _super_bwd_rows(volume_shape, delta: float, parity: bool, group: int,
             v0 = _super_axis(p, size, 0.0).reshape(kg, G, N)
             vp = _super_axis(p, size, d).reshape(kg, G, N)
             vm = _super_axis(p, size, -d).reshape(kg, G, N)
-            b = jnp.floor(jnp.min(vm, axis=1))                # (kg, N)
+            b = base_of(jnp.min(vm, axis=1))                  # (kg, N)
             bb = b[:, None]
             return b, v0 - bb, vp - bb, vm - bb
 
@@ -1226,6 +1267,45 @@ def _sample_block_sorted_bwd(spec, res, cot):
 
 
 sample_block_sorted.defvjp(_sample_block_sorted_fwd, _sample_block_sorted_bwd)
+
+
+@_functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def sample_block_sorted2(spec: SampleSpec, volume, table, px, py, pz):
+    """Stride-2 :func:`sample_block_sorted`: forward =
+    :func:`sample_super2_parity` (grouped), backward = the sorted-window
+    placement keyed by even-base indices (``spec.stride2`` fold).  This is
+    the large-volume (512^3-class) march VJP, where the AD path scatters
+    into a multi-GB stride-2 table cotangent."""
+    return sample_super2_parity(table, spec.volume_shape, px, py, pz,
+                                spec.delta, group=spec.group)
+
+
+def _sample_block_sorted2_fwd(spec, volume, table, px, py, pz):
+    out = sample_block_sorted2(spec, volume, table, px, py, pz)
+    return out, (px, py, pz)
+
+
+def _even_floor(v):
+    return 2.0 * jnp.floor(0.5 * jnp.floor(v))
+
+
+def _sample_block_sorted2_bwd(spec, res, cot):
+    px, py, pz = res
+    X, Y, Z = spec.volume_shape
+    bx, by, bz, d_rows = _super_bwd_rows(
+        spec.volume_shape, spec.delta, True, spec.group,
+        px, py, pz, cot, base_of=_even_floor)
+    # Even-base key: voxel = 2*kappa + lane offset (see _sorted_volume_grad)
+    kappa = ((bx // 2) * (Y * Z) + (by // 2) * Z
+             + bz // 2).reshape(d_rows.shape[0])
+    d_volume = _sorted_volume_grad(spec, kappa, d_rows)
+    zero_tbl = jnp.zeros((X * Y * Z // 8, 64), jnp.float32)
+    zp = jnp.zeros_like(px)
+    return d_volume, zero_tbl, zp, zp, zp
+
+
+sample_block_sorted2.defvjp(_sample_block_sorted2_fwd,
+                            _sample_block_sorted2_bwd)
 
 
 def apply_tf_hat_soa(tf: Array, intensity: Array):

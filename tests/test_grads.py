@@ -297,6 +297,41 @@ class TestSortedVJP:
             render(jnp.zeros((16, 16, 16)), jnp.zeros((128, 4)),
                    jnp.asarray(np.array([1.0, 0.5, 2.0], np.float32)), cfg)
 
+    @pytest.mark.parametrize("wrows,brows", [(1 << 17, 1 << 18),  # defaults
+                                             (384, 640)])  # forced multi
+    def test_stride2_matches_ad(self, sphere_volume, wrows, brows):
+        """march_vjp='sorted' over the stride-2 table (the 512^3-class
+        path: even-base keys, stride-2 fold) == the AD scatter, including
+        with boxes far smaller than the even-base key range."""
+        vol = jnp.asarray(sphere_volume)
+        tf = jnp.asarray(get_tf("tf5", 16))
+        lf = jnp.asarray(np.array([1.3, 0.7, 2.1], np.float32))
+        key = jax.random.PRNGKey(7)
+        w = jnp.asarray(np.random.default_rng(3).random(
+            (16, 16, 4), np.float32))
+        cfg_ad = RenderConfig(volume_shape=vol.shape, image_shape=(16, 16),
+                              max_samples=48, block_size=8,
+                              march_table="super64s2", march_vjp="ad")
+        cfg_s = cfg_ad.replace(march_vjp="sorted", vjp_window_rows=wrows,
+                               vjp_box_rows=brows)
+
+        def loss(cfg):
+            return lambda v, t: jnp.sum(render(
+                v, t, lf, cfg, sampling_rate=0.7, key=key).image * w)
+
+        img_a = render(vol, tf, lf, cfg_ad, sampling_rate=0.7, key=key).image
+        img_s = render(vol, tf, lf, cfg_s, sampling_rate=0.7, key=key).image
+        np.testing.assert_allclose(np.asarray(img_s), np.asarray(img_a),
+                                   atol=1e-6)
+        gv_a, gt_a = jax.grad(loss(cfg_ad), argnums=(0, 1))(vol, tf)
+        gv_s, gt_s = jax.grad(loss(cfg_s), argnums=(0, 1))(vol, tf)
+        sv = float(jnp.abs(gv_a).max())
+        st = float(jnp.abs(gt_a).max())
+        np.testing.assert_allclose(np.asarray(gv_s), np.asarray(gv_a),
+                                   atol=2e-3 * max(sv, 1e-9))
+        np.testing.assert_allclose(np.asarray(gt_s), np.asarray(gt_a),
+                                   atol=2e-3 * max(st, 1e-9))
+
     def test_vmap_batched_grads(self, sphere_volume):
         """The sorted VJP composes with vmap (the Raycaster's batched
         training path): per-view grads of a vmapped multi-view loss match
