@@ -194,15 +194,21 @@ def main():
     # stencil, ERT, supercell-64 table with grouped parity sampling (one
     # 64-wide row gather serves 4 consecutive samples incl. their whole
     # 7-point stencils — the round-3 change that took parity fwd+bwd from
-    # 29.9 s to ~4.5 s).  march_vjp stays "ad" (BASELINE.md round 2).
+    # 29.9 s to ~4.5 s).  Round 4: the GRADIENT step uses
+    # march_vjp="sorted" (sorted-window box scatter + fold, replacing the
+    # 200 ns/row AD scatter into the table cotangent) at block 64 (fewer
+    # march blocks amortize the placement loop's fixed cost; sweep in
+    # experiments/r4_sorted_march_results.jsonl).  Forward keeps block 16
+    # (finer ERT block skip; the forward graph is otherwise identical).
     cfg_exact = RenderConfig(volume_shape=(VOL,) * 3, image_shape=(IMG, IMG),
                              max_samples=MAX_SAMPLES, block_size=BLOCK,
                              march_table="super64")
-    cfg_analytic = cfg_exact.replace(analytic_normals=True)
+    cfg_grad = cfg_exact.replace(block_size=64, march_vjp="sorted")
+    cfg_analytic = cfg_grad.replace(analytic_normals=True)
 
     # N=3 individually-timed iterations of one chained run (variance,
     # r2 #7; the chain carries across samples — see _chain_samples).
-    step_f = make(cfg_exact, "grad")
+    step_f = make(cfg_grad, "grad")
     step_samples = _chain_samples(step_f, n=3, args=(vol_noise, tf))
     step_s = sum(step_samples) / len(step_samples)
     step_phantom_s = _chain_bench(step_f, n=1, args=(vol_phantom, tf))
@@ -325,6 +331,8 @@ def main():
                 "3-point power-law fit (BASELINE_MEASURED.json)"),
             "fwd_bwd_s_mean": round(step_s, 4),
             "fwd_bwd_s_samples": [round(s, 4) for s in step_samples],
+            "grad_config": "march_vjp=sorted block=64 (fwd: ad-equivalent "
+                           "forward graph at block 16)",
             "fwd_bwd_s_phantom_scene": round(step_phantom_s, 4),
             "fwd_nondiff_mrays_per_s": round(IMG * IMG / fwd_s / 1e6, 3),
             "fwd_nondiff_s": round(fwd_s, 4),

@@ -146,7 +146,9 @@ class RenderConfig:
                                      #             grads exact, look_from
                                      #             grads INCOMPLETE like
                                      #             "tiled".  Requires
-                                     #             march_table super64.
+                                     #             march_table super64 or
+                                     #             super64s2 (the 512^3-
+                                     #             class parity path).
     vjp_tile: int = 16               # image tile edge (pixels) of the tiled
                                      # VJP's scatter locality
     vjp_box: int = 32                # voxel box edge of the tiled VJP's

@@ -26,6 +26,22 @@ jax.config.update("jax_enable_x64", False)
 # cost ~6 min for the full suite — correctness wins.
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Free compiled executables between test modules.
+
+    The box's XLA:CPU client intermittently SEGFAULTS inside
+    backend_compile late in a single long-lived process (observed twice,
+    in different, individually-passing tests, always after 100+ prior
+    compiles) — an accumulation-triggered compiler failure, not a test
+    bug.  Dropping the executable cache per module keeps the client's
+    live-compilation footprint bounded; the extra recompiles only affect
+    fixtures shared across modules.
+    """
+    yield
+    jax.clear_caches()
+
+
 @pytest.fixture(scope="session")
 def rng():
     return np.random.default_rng(0)
