@@ -204,7 +204,11 @@ def main():
                              max_samples=MAX_SAMPLES, block_size=BLOCK,
                              march_table="super64")
     cfg_grad = cfg_exact.replace(block_size=64, march_vjp="sorted")
-    cfg_analytic = cfg_grad.replace(analytic_normals=True)
+    # Analytic mode also moves to the sorted VJP (round-4 config change:
+    # rounds 1-3 measured analytic at block 16 / march_vjp="ad"); block 32
+    # is its measured sweep point (analytic_sorted_b32: 2.71 s vs AD
+    # 4.69-4.73 s, r4_sorted_march_results.jsonl).
+    cfg_analytic = cfg_grad.replace(analytic_normals=True, block_size=32)
 
     # N=3 individually-timed iterations of one chained run (variance,
     # r2 #7; the chain carries across samples — see _chain_samples).

@@ -100,7 +100,10 @@ class RenderConfig:
                                      #               rows (even bases): 8x
                                      #               less memory, whole
                                      #               parity stencil in one
-                                     #               row, no step groups.
+                                     #               row; step groups under
+                                     #               the tighter stride-2
+                                     #               span bound (G=2 at
+                                     #               512^3 / sr=1).
                                      #   "auto"    — super64 when the table
                                      #               fits super64_max_bytes
                                      #               (and semantics allow),

@@ -492,8 +492,10 @@ def supercell2_table(volume: Array) -> Array:
     of quantized bases: a sample footprint fits a row iff its span plus
     the <=2-voxel even-floor slack stays under the row's 3-cell cover.
     The parity stencil (span ``delta*(size-1)`` voxels, ~0.5 at 512^3)
-    always fits; step groups generally don't — use stride-2 where the
-    full table exceeds HBM (512^3: 4.3 GB vs 34 GB), with group=1.
+    always fits; step groups are admitted under the tighter bound
+    ``(G-1)*step + stencil_diam < 1`` voxel (G=2 at 512^3 / sr=1 —
+    :meth:`RenderConfig.supercell_group`).  Use stride-2 where the full
+    table exceeds HBM (512^3: 4.3 GB vs 34 GB).
 
     Requires even X, Y, Z.  Clamped at the upper boundary like
     :func:`supercell_table`.
@@ -529,6 +531,13 @@ def supercell2_table(volume: Array) -> Array:
     return jnp.stack(rows, axis=-1)
 
 
+def _even_floor(v):
+    """Largest EVEN integer <= floor(v): the stride-2 table's base
+    quantization — must stay bitwise-identical between the forward
+    sampler and the sorted VJP's transpose."""
+    return 2.0 * jnp.floor(0.5 * jnp.floor(v))
+
+
 def sample_super2_parity(table: Array, volume_shape, px, py, pz,
                         delta: float = 1e-3, group: int = 1):
     """Full-parity sampling via the stride-2 supercell table: ONE 64-wide
@@ -550,15 +559,13 @@ def sample_super2_parity(table: Array, volume_shape, px, py, pz,
     """
     X, Y, Z = volume_shape
 
-    def base_of(v):
-        return 2.0 * jnp.floor(0.5 * jnp.floor(v))  # even base <= floor(v)
-
     def flat_of(bx, by, bz):
         return (((bx * 0.5) * (Y // 2) + by * 0.5) * (Z // 2)
                 + bz * 0.5).astype(jnp.int32)
 
     return _super_parity_core(table, volume_shape, px, py, pz,
-                              np.float32(delta), group, base_of, flat_of)
+                              np.float32(delta), group, _even_floor,
+                              flat_of)
 
 
 def _hat4(pat: np.ndarray, u: Array) -> Array:
@@ -1004,30 +1011,39 @@ def _fold_box_to_segment(box: Array, E: int, Z: int, YZ: int) -> Array:
     return seg                                              # (E + apron,)
 
 
-def _fold_box_to_segment2(box: Array, E: int, Z: int, YZ: int) -> Array:
+def _fold_box_to_segment2(box: Array, E: int, Z: int, YZ: int):
     """Stride-2 :func:`_fold_box_to_segment`: box row ``j`` lane
-    ``(dx, dy, dz)`` accumulates into segment position
+    ``(dx, dy, dz)`` accumulates into voxel position
     ``2*j + dx*YZ + dy*Z + dz`` (the box index is the even-base index
-    kappa, and voxel = 2*kappa + lane offset).  The doubled row stride is
-    realized by an (E+1, 2) interleave at the z level; the y/x levels are
-    the stride-1 fold.  Returns the segment of length
-    ``2*E + 2 + 3*YZ + 3*Z``.
+    kappa, and voxel = 2*kappa + lane offset).
+
+    Because ``Z`` and ``YZ`` are even, the voxel position's PARITY equals
+    the dz lane's parity — so the fold splits into two independent
+    stride-1 folds over the even/odd half-lattices (position/2 =
+    j + dx*(YZ/2) + dy*(Z/2) + dz//2), avoiding any interleaved tensor
+    with a tiny minor dim in the per-pass hot loop (CLAUDE.md rule 3);
+    the caller interleaves the two half ACCUMULATORS once per block.
+    Returns (seg_even, seg_odd), each of length ``E + 3*(YZ+Z)//2 + 1``.
     """
     boxT = box.T                                            # (64, E)
-    a1 = jnp.zeros((16, E + 1, 2), jnp.float32)
-    for dz in range(4):
-        # slot (j + dz//2, dz%2) flattens to 2*j + dz
-        a1 = a1.at[:, dz // 2:dz // 2 + E, dz % 2].add(boxT[dz::4, :])
-    a1 = a1.reshape(16, 2 * E + 2)
-    w1 = 2 * E + 2
-    a2 = jnp.zeros((4, w1 + 3 * Z), jnp.float32)
-    for dy in range(4):
-        a2 = a2.at[:, dy * Z:dy * Z + w1].add(a1[dy::4, :])
-    w2 = w1 + 3 * Z
-    seg = jnp.zeros((w2 + 3 * YZ,), jnp.float32)
-    for dx in range(4):
-        seg = seg.at[dx * YZ:dx * YZ + w2].add(a2[dx, :])
-    return seg
+    Zh, YZh = Z // 2, YZ // 2
+    w1 = E + 1
+    w2 = w1 + 3 * Zh
+    Lh = w2 + 3 * YZh
+
+    def half(dz_pairs):
+        a1 = jnp.zeros((16, w1), jnp.float32)
+        for dz, dzh in dz_pairs:                            # dzh = dz // 2
+            a1 = a1.at[:, dzh:dzh + E].add(boxT[dz::4, :])
+        a2 = jnp.zeros((4, w2), jnp.float32)
+        for dy in range(4):
+            a2 = a2.at[:, dy * Zh:dy * Zh + w1].add(a1[dy::4, :])
+        seg = jnp.zeros((Lh,), jnp.float32)
+        for dx in range(4):
+            seg = seg.at[dx * YZh:dx * YZh + w2].add(a2[dx, :])
+        return seg
+
+    return half(((0, 0), (2, 1))), half(((1, 0), (3, 1)))
 
 
 def _sorted_volume_grad(spec: SampleSpec, base: Array, d_rows: Array):
@@ -1053,11 +1069,22 @@ def _sorted_volume_grad(spec: SampleSpec, base: Array, d_rows: Array):
     S = -(-Ck // E)                            # anchor-advance bound
     apron = 3 * YZ + 3 * Z + 3
     if spec.stride2:
-        fold, vox_of = _fold_box_to_segment2, (lambda o: 2 * o)
-        Es = 2 * E + 2 + 3 * YZ + 3 * Z        # folded segment length
+        # Two half-lattice accumulator rows (even/odd voxel parity; see
+        # _fold_box_to_segment2) — interleaved ONCE at the end.
+        H = 2
+        Es = E + 3 * (YZ + Z) // 2 + 1         # half segment length
+        acc_len = Ck + Es - E                  # covers o <= Ck - E
+
+        def fold(box):
+            se, so = _fold_box_to_segment2(box, E, Z, YZ)
+            return jnp.stack([se, so])
     else:
-        fold, vox_of = _fold_box_to_segment, (lambda o: o)
-        Es = E + apron
+        H = 1
+        Es = E + apron                         # folded segment length
+        acc_len = C + apron
+
+        def fold(box):
+            return _fold_box_to_segment(box, E, Z, YZ)[None]
 
     # Dead rows (exactly-zero cotangents: steps past a ray's exit, ERT-
     # gated steps, steps dropped by the composite gate) contribute nothing
@@ -1110,7 +1137,7 @@ def _sorted_volume_grad(spec: SampleSpec, base: Array, d_rows: Array):
             box = jnp.zeros((E, 64), jnp.float32).at[
                 jnp.clip(li, 0, E - 1)].add(
                 jnp.where(fit[:, None], wr, 0.0))
-            seg = fold(box, E, Z, YZ)
+            seg = fold(box)
             # All slice rows below anchor + E are now placed; rows beyond
             # the slice can only be below it when the slice fully fits
             # (count == WR), in which case jc + WR is still a valid
@@ -1119,24 +1146,29 @@ def _sorted_volume_grad(spec: SampleSpec, base: Array, d_rows: Array):
             return seg, o, jnp.maximum(j, j_new)
 
         def skip(j):
-            return jnp.zeros((Es,), jnp.float32), jnp.int32(0), j
+            return jnp.zeros((H, Es), jnp.float32), jnp.int32(0), j
 
         # The cond carries only the small folded segment — never d_flat
         # (threading the 64 MB accumulator through a cond was measured to
         # copy it per iteration and void the scatter win).
         seg, o, j = jax.lax.cond(j >= j_end, skip, active, j)
-        ov = vox_of(o)
-        cur = jax.lax.dynamic_slice(d_flat, (ov,), (Es,))
-        d_flat = jax.lax.dynamic_update_slice(d_flat, cur + seg, (ov,))
+        cur = jax.lax.dynamic_slice(d_flat, (0, o), (H, Es))
+        d_flat = jax.lax.dynamic_update_slice(d_flat, cur + seg, (0, o))
         return d_flat, j
 
     d_flat, _j = jax.lax.fori_loop(
         0, T, pass_body,
-        (jnp.zeros((C + apron,), jnp.float32), jnp.int32(0)))
+        (jnp.zeros((H, acc_len), jnp.float32), jnp.int32(0)))
     # The apron rows collect only exactly-zero lanes (clamped-cell
     # construction gives zero weight to voxels >= size), same argument as
     # the tiled path's padded accumulator.
-    return d_flat[:C].reshape(X, Y, Z)
+    if spec.stride2:
+        # Interleave the even/odd half-lattices: voxel 2i <- even[i],
+        # 2i+1 <- odd[i].  One (Ck, 2)-shaped op per CALL, outside the
+        # pass loop (CLAUDE.md rule 3 applies to per-pass tensors).
+        return jnp.stack([d_flat[0, :Ck], d_flat[1, :Ck]],
+                         axis=-1).reshape(X, Y, Z)
+    return d_flat[0, :C].reshape(X, Y, Z)
 
 
 def _super_bwd_rows(volume_shape, delta: float, parity: bool, group: int,
@@ -1283,10 +1315,6 @@ def sample_block_sorted2(spec: SampleSpec, volume, table, px, py, pz):
 def _sample_block_sorted2_fwd(spec, volume, table, px, py, pz):
     out = sample_block_sorted2(spec, volume, table, px, py, pz)
     return out, (px, py, pz)
-
-
-def _even_floor(v):
-    return 2.0 * jnp.floor(0.5 * jnp.floor(v))
 
 
 def _sample_block_sorted2_bwd(spec, res, cot):
