@@ -229,3 +229,56 @@ class TestSupercellStride2:
         assert RenderConfig(volume_shape=(256,) * 3,
                             image_shape=(8, 8)).resolved_march_table() \
             == "super64"
+
+
+class TestSortedVolumeGrad:
+    """Direct oracle test of the sorted-window placement kernel
+    (_sorted_volume_grad): random row cotangents — duplicate bases, dead
+    rows, boundary-clamped bases, tiny windows forcing multiple runtime
+    sub-box passes — must equal the dense per-lane accumulation."""
+
+    def _oracle(self, shape, base_xyz, d_rows, stride):
+        X, Y, Z = shape
+        out = np.zeros((X, Y, Z), np.float64)
+        for (bx, by, bz), row in zip(base_xyz, d_rows):
+            for lane in range(64):
+                dx, dy, dz = lane // 16, (lane // 4) % 4, lane % 4
+                vx, vy, vz = bx + dx, by + dy, bz + dz
+                if vx < X and vy < Y and vz < Z:
+                    out[vx, vy, vz] += row[lane]
+        return out.astype(np.float32)
+
+    @pytest.mark.parametrize("stride", [1, 2])
+    @pytest.mark.parametrize("wrows,brows", [(64, 128), (1 << 17, 1 << 18)])
+    def test_matches_dense_oracle(self, rng, stride, wrows, brows):
+        import jax.numpy as jnp
+        from differender_tpu.sampling import SampleSpec, _sorted_volume_grad
+        shape = (12, 10, 8)
+        X, Y, Z = shape
+        M = 500
+        step = stride
+        bx = (rng.integers(0, X - 1, M) // step * step).astype(np.int64)
+        by = (rng.integers(0, Y - 1, M) // step * step).astype(np.int64)
+        bz = (rng.integers(0, Z - 1, M) // step * step).astype(np.int64)
+        d_rows = rng.normal(size=(M, 64)).astype(np.float32)
+        d_rows[rng.random(M) < 0.3] = 0.0            # dead rows
+        # The kernel's contract: lanes referencing voxels >= size carry
+        # exactly zero (guaranteed by the hat-weight construction in
+        # _super_bwd_rows) — enforce it on the synthetic rows.
+        for lane in range(64):
+            dx, dy, dz = lane // 16, (lane // 4) % 4, lane % 4
+            oob = ((bx + dx >= X) | (by + dy >= Y) | (bz + dz >= Z))
+            d_rows[oob, lane] = 0.0
+        if stride == 1:
+            key = (bx * Y + by) * Z + bz
+        else:
+            key = (bx // 2) * (Y * Z) + (by // 2) * Z + bz // 2
+        spec = SampleSpec(volume_shape=shape, delta=1e-3, group=1,
+                          parity=True, n_tiles=1, box=32,
+                          box_rows=brows, window_rows=wrows,
+                          stride2=stride == 2)
+        got = np.asarray(_sorted_volume_grad(
+            spec, jnp.asarray(key, jnp.int32), jnp.asarray(d_rows)))
+        want = self._oracle(shape, np.stack([bx, by, bz], -1), d_rows,
+                            stride)
+        np.testing.assert_allclose(got, want, atol=1e-4)
