@@ -25,7 +25,18 @@ from .utils.camera import in_circles, get_rand_pos
 from .fastpath import render_fast, render_fast_sharded, FastRenderOutput
 from .video import VideoWriter, save_video
 
+
+def __getattr__(name):
+    # Lazy: importing the torch bridge must not make the core package
+    # depend on torch (PEP 562).
+    if name == "TorchRaycaster":
+        from .torch_interop import TorchRaycaster
+        return TorchRaycaster
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
+
+
 __all__ = [
+    "TorchRaycaster",
     "RenderConfig", "RayBundle", "make_rays", "ray_directions", "ray_aabb",
     "RenderOutput", "render", "render_nondiff", "render_jit",
     "render_nondiff_jit", "render_nondiff_strips", "render_strips",
