@@ -162,9 +162,13 @@ class RenderConfig:
                                      # the measured allocation-size cliff
                                      # below which TPU scatter runs ~14x
                                      # cheaper (r4_scatter_results.jsonl)
-    vjp_window_rows: int = 1 << 17   # sorted-VJP rows per sorted window
+    vjp_window_rows: int = 1 << 16   # sorted-VJP rows per sorted window
                                      # (one small-box scatter per window in
-                                     # the typical spatially-local case)
+                                     # the typical spatially-local case).
+                                     # Swept at the headline config: 64k
+                                     # 1.52 s fwd+bwd vs 128k 1.67 / 256k
+                                     # 2.23 / 32k 2.02 / 16k 1.90
+                                     # (r4_session2_results.jsonl)
     vjp_check: bool = False          # tiled-VJP runtime containment check:
                                      # a tile whose sample footprint exceeds
                                      # vjp_box poisons its gradient with NaN
@@ -176,7 +180,21 @@ class RenderConfig:
                                      # exact — skipped samples provably sit
                                      # below alpha_skip; see
                                      # differender_tpu.occupancy)
-    occupancy_cell: int = 8          # macrocell edge in voxels
+    occupancy_cell: int = 0          # macrocell edge in voxels; 0 = auto:
+                                     # the smallest edge in {2,4,8,16,32}
+                                     # whose grid stays <= 2^21 cells (the
+                                     # cheap small-table gather zone).
+                                     # Finer cells resolve thinner empty
+                                     # gaps: at 256^3/sr=16 cell 2 rendered
+                                     # in 2.06 s vs 5.33 s at cell 8, and
+                                     # is cost-neutral at sr=1
+                                     # (r4_session2_results.jsonl)
+    occupancy_max_dist: int = 0      # distance-field saturation (macrocells;
+                                     # the max empty-space jump is
+                                     # (max_dist-1) cells).  0 = auto:
+                                     # ~96 voxels of reach (96 // cell) —
+                                     # finer cells need a higher cap to
+                                     # cross the same world distance
     nondiff_compaction: bool = True  # nondiff path: wavefront compaction —
                                      # march a compacted alive-ray prefix
                                      # through a static N -> N/4 -> ...
@@ -184,8 +202,10 @@ class RenderConfig:
                                      # sequence, images equal to ~1 ulp;
                                      # per-iteration cost tracks the alive
                                      # count instead of the full image)
-    compaction_min: int = 16384      # smallest compaction phase size (the
-                                     # ladder divides by 4 until here)
+    compaction_min: int = 4096       # smallest compaction phase size (the
+                                     # ladder divides by 4 until here; 4096
+                                     # measured >= 16384 at every sweep
+                                     # point, r4_session2_results.jsonl)
     occupancy_jump_every: int = 1    # evaluate the distance-field jump
                                      # every Nth march iteration (each jump
                                      # costs one extra gather op per
@@ -314,6 +334,29 @@ class RenderConfig:
                     and self.block_size % g == 0):
                 return g
         return 1
+
+    def resolved_occupancy(self) -> Tuple[int, int]:
+        """(cell, max_dist) with the auto (0) defaults resolved.
+
+        Cell: the smallest edge in {2, 4, 8, 16, 32} whose macrocell grid
+        has <= 2^21 cells — the distance field stays <= 8 MB, inside this
+        stack's measured cheap small-table gather zone (CLAUDE.md rule 5 /
+        r4_scatter pricing), while resolving the thinnest empty gaps the
+        budget allows.  Max_dist: ~96 voxels of jump reach regardless of
+        cell size.
+        """
+        cell = self.occupancy_cell
+        if cell == 0:
+            for cell in (2, 4, 8, 16, 32):
+                n_cells = 1
+                for s in self.volume_shape:
+                    n_cells *= -(-s // cell)
+                if n_cells <= 1 << 21:
+                    break
+        md = self.occupancy_max_dist
+        if md == 0:
+            md = max(2, 96 // cell)
+        return cell, md
 
     def replace(self, **kw) -> "RenderConfig":
         return dataclasses.replace(self, **kw)

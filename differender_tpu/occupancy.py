@@ -38,6 +38,7 @@ end of this stack's measured gather pricing).
 from __future__ import annotations
 
 import dataclasses
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -109,7 +110,8 @@ def _maxpool3(x: Array) -> Array:
 
 
 def build_occupancy(volume: Array, tf: Array, config: RenderConfig,
-                    cell: int = 8, max_dist: int = 15) -> OccupancyGrid:
+                    cell: Optional[int] = None,
+                    max_dist: Optional[int] = None) -> OccupancyGrid:
     """Build the distance field for a (volume, TF) pair.
 
     ~One reduce_window over the volume + max_dist 3^3 max-pools over the
@@ -118,6 +120,9 @@ def build_occupancy(volume: Array, tf: Array, config: RenderConfig,
     volume+TF, and inference renders many views of one pair — one build
     amortizes over all views).
     """
+    auto_cell, auto_md = config.resolved_occupancy()
+    cell = auto_cell if cell is None else cell
+    max_dist = auto_md if max_dist is None else max_dist
     volume = jnp.asarray(volume, jnp.float32)
     tf = jnp.asarray(tf, jnp.float32)
     X, Y, Z = volume.shape

@@ -562,6 +562,17 @@ def march_nondiff(
         pz = rays.origin[2] + t * soa_p.dz
         adv = jump_steps(occupancy, config.volume_shape, px, py, pz,
                          soa_p.dt)
+        # Keep the march BLOCK-ALIGNED so skipping is bitwise invisible:
+        # (a) grouped sampling picks each row base from the group-min
+        # position, so shifting which steps share a group perturbs the
+        # f32 hat weights; (b) the composite accumulates one partial sum
+        # per block, so shifting block boundaries reassociates the sums
+        # (~1 ulp each).  Rounding the advance down to a block multiple
+        # (block % grp == 0) makes every visited block identical to the
+        # no-skip march's — images match bit for bit (tests/
+        # test_occupancy.py) at a cost of < one block of skipped steps
+        # per jump.
+        adv = (adv // block) * block
         # Jumps stay within the ray (termination math must see the true
         # head); the alive gate handles exhausted rays either way.
         return s_r + jnp.minimum(adv, jnp.maximum(soa_p.n_samples - s_r, 0))
@@ -717,8 +728,7 @@ def render_nondiff(
     tf = jnp.asarray(tf, jnp.float32)
     if occupancy is None and config.occupancy_skip:
         from .occupancy import build_occupancy
-        occupancy = build_occupancy(volume, tf, config,
-                                    cell=config.occupancy_cell)
+        occupancy = build_occupancy(volume, tf, config)
     rays = make_rays(look_from, config, sr, jitter_key=key)
     img = march_nondiff(volume, tf, rays, config, sr, float(sr),
                         occupancy=occupancy)
@@ -757,8 +767,8 @@ def render_nondiff_strips(
     if occupancy is None and config.occupancy_skip:
         from .occupancy import build_occupancy
         occupancy = jax.jit(
-            build_occupancy, static_argnames=("config", "cell")
-        )(volume, tf, config, cell=config.occupancy_cell)
+            build_occupancy, static_argnames=("config",)
+        )(volume, tf, config)
     rays = make_rays(look_from, config, sr, jitter_key=key)
     strip_cfg = config.replace(image_shape=(h, W))
     imgs = []
@@ -850,7 +860,7 @@ def _predict_march_depth(volume, tf, rays: RayBundle, config: RenderConfig,
     grid), which only costs scheduling efficiency, never correctness.
     """
     from .occupancy import build_occupancy
-    grid = build_occupancy(volume, tf, config, cell=config.occupancy_cell)
+    grid = build_occupancy(volume, tf, config)
     nx, ny, nz = grid.shape
     params = march_params(rays)
     H, W = config.image_shape
