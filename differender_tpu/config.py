@@ -150,8 +150,15 @@ class RenderConfig:
                                      #             grads INCOMPLETE like
                                      #             "tiled".  Requires
                                      #             march_table super64 or
-                                     #             super64s2 (the 512^3-
-                                     #             class parity path).
+                                     #             super64s2.  KNOWN LIMIT:
+                                     #             at 512^3-class volumes
+                                     #             the placement graph
+                                     #             crashes the remote TPU
+                                     #             compile helper (HTTP
+                                     #             500; blocks 32/64, boxes
+                                     #             up to 2^20 rows tried) —
+                                     #             use "ad" there
+                                     #             (BASELINE.md).
     vjp_tile: int = 16               # image tile edge (pixels) of the tiled
                                      # VJP's scatter locality
     vjp_box: int = 32                # voxel box edge of the tiled VJP's
