@@ -76,16 +76,42 @@ def test_jump_steps_skips_only_empty(rng):
 
 
 def test_nondiff_with_occupancy_is_exact(sphere_volume, shell_volume):
-    """render_nondiff with occupancy skipping == without, bit-for-bit."""
+    """render_nondiff with occupancy skipping == without, BIT-for-bit.
+
+    Parametrized over cell sizes so jumps genuinely fire (at cell 8 on
+    32^3 test volumes every cell borders an occupied one and the jump
+    path is dormant).  Bitwise equality holds because jump advances are
+    rounded down to march-block multiples: the visited blocks are then a
+    subset of the no-skip march's blocks, so supercell group bases and
+    the composite's per-block partial sums are identical f32 arithmetic
+    (render._nd_jump; ~1-ulp reassociation differences otherwise)."""
     tf = np.asarray(get_tf("tf1", 32))
     lf = np.array([1.2, 0.8, 2.0], np.float32)
     for vol in (sphere_volume, shell_volume):
-        cfg_on = RenderConfig(volume_shape=vol.shape, image_shape=(12, 12))
-        cfg_off = cfg_on.replace(occupancy_skip=False)
-        for sr in (1.0, 6.0):
-            a = render_nondiff(vol, tf, lf, cfg_on, sampling_rate=sr).image
-            b = render_nondiff(vol, tf, lf, cfg_off, sampling_rate=sr).image
-            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        for cell, md in ((0, 0), (8, 12), (4, 24), (2, 48)):
+            cfg_on = RenderConfig(volume_shape=vol.shape, image_shape=(12, 12),
+                                  occupancy_cell=cell, occupancy_max_dist=md)
+            cfg_off = cfg_on.replace(occupancy_skip=False)
+            for sr in (1.0, 6.0):
+                a = render_nondiff(vol, tf, lf, cfg_on,
+                                   sampling_rate=sr).image
+                b = render_nondiff(vol, tf, lf, cfg_off,
+                                   sampling_rate=sr).image
+                np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_resolved_occupancy_auto():
+    """Auto sizing: smallest cell with <= 2^21 macrocells, ~96-voxel reach."""
+    cases = [((32,) * 3, 2, 48), ((256,) * 3, 2, 48),
+             ((512,) * 3, 4, 24), ((1024,) * 3, 8, 12)]
+    for shape, want_cell, want_md in cases:
+        cfg = RenderConfig(volume_shape=shape, image_shape=(8, 8))
+        cell, md = cfg.resolved_occupancy()
+        assert (cell, md) == (want_cell, want_md), (shape, cell, md)
+    # explicit values pass through untouched
+    cfg = RenderConfig(volume_shape=(64,) * 3, image_shape=(8, 8),
+                       occupancy_cell=16, occupancy_max_dist=5)
+    assert cfg.resolved_occupancy() == (16, 5)
 
 
 def test_prebuilt_grid_reuse(sphere_volume):
