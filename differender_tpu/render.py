@@ -955,6 +955,170 @@ def render_depth_sorted(
                         n_samples=rays.n_samples)
 
 
+def value_and_grad_blockwise(
+    volume: Array,
+    tf: Array,
+    look_from: Array,
+    config: RenderConfig,
+    loss_fn,
+    sampling_rate: Optional[float] = None,
+    key: Optional[Array] = None,
+    ert: bool = True,
+):
+    """Loss + (d_volume, d_tf) via a HOST-level per-march-block backward.
+
+    Semantically identical to ``jax.value_and_grad`` over
+    ``loss_fn(render(...))`` w.r.t. ``(volume, tf)`` — same block math,
+    same ERT gating, same custom VJPs — but partitioned into THREE small
+    jit programs instead of one monolith:
+
+      1. one forward-block program, reused for every block (``s0`` is a
+         traced argument), with the per-block entry carries saved on
+         device (``n_blocks * 5 * H * W`` floats — a few MB);
+      2. one loss-head program (final image + ``loss_fn``), whose VJP
+         yields the carry cotangent;
+      3. one backward-block program (fwd recompute + VJP of one block),
+         reused in reverse block order with gradient accumulation.
+
+    Why: at 512^3 the monolithic backward with ``march_vjp='sorted'``
+    exceeds the remote-compile helper's buffer-pressure limit at EVERY
+    strip count / box / window size (experiments/r5_sorted512_results
+    .jsonl), yet the sorted placement loop compiles and runs standalone.
+    Strips shrink the RAYS axis but keep all blocks (and all placement
+    instances) in one program; this partitions the BLOCKS axis, so each
+    program holds exactly one block's march and one placement instance.
+
+    Do NOT wrap this in an outer ``jax.jit`` — that inlines the host loop
+    back into one program and forfeits the size bound (same caveat as
+    :func:`render_strips`).  Gradients w.r.t. ``look_from`` are not
+    available (rays are built eagerly on the host); use plain
+    :func:`render` for camera gradients.
+
+    Args:
+        loss_fn: maps a :class:`RenderOutput` to a scalar loss.
+    Returns:
+        (loss, (d_volume, d_tf))
+    """
+    sr = config.sampling_rate if sampling_rate is None else sampling_rate
+    if config.march_vjp == "tiled":
+        raise ValueError("value_and_grad_blockwise supports march_vjp "
+                         "'ad' and 'sorted', not 'tiled'")
+    volume = jnp.asarray(volume, jnp.float32)
+    tf = jnp.asarray(tf, jnp.float32)
+    rays = make_rays(look_from, config, sr, jitter_key=key)
+    params = march_params(rays)
+    H, W = config.image_shape
+    N = H * W
+    n_steps = config.diff_march_steps(float(sr))
+    block = max(1, min(config.block_size, n_steps))
+    n_blocks = -(-n_steps // block)
+    fwd_block, bwd_block = _blockwise_programs(config, float(sr), ert, block)
+    loss_head = _blockwise_head(loss_fn, config)
+    soa = _ray_soa(rays, params)
+
+    zero = jnp.zeros((N,), jnp.float32)
+    accs = (zero, zero, zero, zero)
+    cnt = jnp.ones((N,), jnp.int32)
+    origin = rays.origin
+    carries = []
+    for b in range(n_blocks):
+        carries.append((accs, cnt))
+        accs, cnt = fwd_block(volume, tf, soa, origin, accs, cnt,
+                              jnp.int32(b * block))
+
+    loss, head_vjp = jax.vjp(
+        lambda a: loss_head(a, cnt, rays.n_samples), accs)
+    (d_accs,) = head_vjp(jnp.float32(1.0))
+
+    d_volume = jnp.zeros_like(volume)
+    d_tf = jnp.zeros_like(tf)
+    for b in range(n_blocks - 1, -1, -1):
+        accs_b, cnt_b = carries[b]
+        dv, dt, d_accs = bwd_block(volume, tf, soa, origin, accs_b, cnt_b,
+                                   jnp.int32(b * block), d_accs)
+        d_volume = d_volume + dv
+        d_tf = d_tf + dt
+    return loss, (d_volume, d_tf)
+
+
+@functools.lru_cache(maxsize=32)
+def _blockwise_head(loss_fn, config: RenderConfig):
+    """Jitted loss head for :func:`value_and_grad_blockwise`, cached per
+    (loss_fn, config) so repeated training steps reuse the compile."""
+    H, W = config.image_shape
+
+    @jax.jit
+    def loss_head(accs, cnt, ns):
+        img = jnp.stack(accs, axis=-1).reshape(H, W, 4)
+        out = RenderOutput(image=img, valid_steps=cnt.reshape(H, W),
+                           n_samples=ns)
+        return loss_fn(out)
+
+    return loss_head
+
+
+@functools.lru_cache(maxsize=32)
+def _blockwise_programs(config: RenderConfig, sr: float, ert: bool,
+                        block: int):
+    """The two reusable jit programs of :func:`value_and_grad_blockwise`
+    (one forward block, one backward block), cached on the static
+    configuration — ``s0`` and all arrays are traced arguments, so every
+    block of every training step reuses the same two compiles."""
+    grp = _safe_supercell_group(config, sr, block)
+    sorted_vjp = config.march_vjp == "sorted"
+
+    def _one_block(v, t, soa_, origin_, accs, cnt, s0):
+        """One march block: the body of :func:`march_diff`'s scan, with
+        the volume/TF prep traced per program (cheap next to the march)."""
+        kind_op, vol_op = _prep_volume(v, config)
+        if sorted_vjp:
+            vol_op = jax.lax.stop_gradient(vol_op)
+        tf_op = _prep_tf(t, config)
+
+        def eval_block(carry, s0):
+            a, c = carry
+            steps = s0 + jnp.arange(block, dtype=jnp.int32)
+            pr, pg, pb, pa, _, in_range = _eval_block_soa(
+                (kind_op, vol_op), tf_op, origin_,
+                soa_, steps, jnp.float32(sr), config, clamp_light=True,
+                super_group=grp,
+                tiled_volume=v if sorted_vjp else None,
+                n_tiles=1, vjp_mode=config.march_vjp)
+            a, c, _ = composite_block_soa(a, c, pr, pg, pb, pa,
+                                          in_range, config, ert=ert)
+            return (a, c), None
+
+        eval_block = jax.checkpoint(
+            eval_block,
+            policy=jax.checkpoint_policies.save_only_these_names(
+                "march_intensity", "march_gx", "march_gy", "march_gz",
+                "march_alpha"),
+            prevent_cse=False)
+        if ert and config.ert_block_skip:
+            alive = jnp.any((accs[3] < config.ert_threshold)
+                            & (soa_.n_samples > s0))
+            (accs, cnt), _ = jax.lax.cond(
+                alive, eval_block, lambda c_, _s: (c_, None),
+                (accs, cnt), s0)
+        else:
+            (accs, cnt), _ = eval_block((accs, cnt), s0)
+        return accs, cnt
+
+    fwd_block = jax.jit(_one_block)
+
+    @jax.jit
+    def bwd_block(v, t, soa_, origin_, accs, cnt, s0, d_accs):
+        # cnt is an int carry: non-differentiable, held fixed; the block's
+        # output counts are recomputed by the forward pass that saved the
+        # carries, so only the accs cotangent flows here.
+        _, vjp = jax.vjp(
+            lambda v_, t_, a_: _one_block(v_, t_, soa_, origin_, a_, cnt,
+                                          s0)[0], v, t, accs)
+        return vjp(d_accs)
+
+    return fwd_block, bwd_block
+
+
 @functools.partial(jax.jit, static_argnames=("config", "sampling_rate", "ert"))
 def render_jit(volume, tf, look_from, config: RenderConfig,
                sampling_rate=None, key=None, ert=True):

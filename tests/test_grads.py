@@ -355,3 +355,53 @@ class TestSortedVJP:
         sv = float(jnp.abs(gv_s).max())
         np.testing.assert_allclose(np.asarray(gv_b), np.asarray(gv_s),
                                    atol=2e-3 * max(sv, 1e-9))
+
+
+class TestBlockwiseVJP:
+    """value_and_grad_blockwise: the host-level per-block backward must be
+    numerically identical (same block math, different program partitioning)
+    to jax.value_and_grad over render() — for both march_vjp modes, with
+    ERT block skip, and with jitter replay."""
+
+    @pytest.mark.parametrize("vjp_mode,table", [("ad", "auto"),
+                                                ("sorted", "super64")])
+    def test_matches_monolithic(self, sphere_volume, vjp_mode, table):
+        from differender_tpu import value_and_grad_blockwise
+        vol = jnp.asarray(sphere_volume)
+        tf = jnp.asarray(get_tf("tf1", 16))
+        lf = jnp.asarray(np.array([1.2, 0.8, 2.0], np.float32))
+        cfg = RenderConfig(volume_shape=vol.shape, image_shape=(12, 12),
+                           tf_resolution=16, max_samples=32, block_size=8,
+                           march_table=table, march_vjp=vjp_mode,
+                           vjp_window_rows=512, vjp_box_rows=1024)
+        key = jax.random.PRNGKey(7)
+
+        def loss_fn(out):
+            return jnp.mean(out.image ** 2)
+
+        ref_loss, (gv_r, gt_r) = jax.value_and_grad(
+            lambda v, t: loss_fn(render(v, t, lf, cfg, sampling_rate=0.8,
+                                        key=key)), argnums=(0, 1))(vol, tf)
+        bl_loss, (gv_b, gt_b) = value_and_grad_blockwise(
+            vol, tf, lf, cfg, loss_fn, sampling_rate=0.8, key=key)
+        np.testing.assert_allclose(float(bl_loss), float(ref_loss),
+                                   rtol=1e-5)
+        sv = float(jnp.abs(gv_r).max())
+        st = float(jnp.abs(gt_r).max())
+        np.testing.assert_allclose(np.asarray(gv_b), np.asarray(gv_r),
+                                   atol=1e-5 * max(sv, 1e-9))
+        np.testing.assert_allclose(np.asarray(gt_b), np.asarray(gt_r),
+                                   atol=1e-5 * max(st, 1e-9))
+
+    def test_rejects_tiled(self, sphere_volume):
+        from differender_tpu import value_and_grad_blockwise
+        cfg = RenderConfig(volume_shape=sphere_volume.shape,
+                           image_shape=(8, 8), tf_resolution=16,
+                           max_samples=32, block_size=8,
+                           march_table="super64", march_vjp="tiled",
+                           vjp_tile=4)
+        with pytest.raises(ValueError, match="blockwise"):
+            value_and_grad_blockwise(
+                jnp.asarray(sphere_volume), jnp.asarray(get_tf("tf1", 16)),
+                jnp.asarray(np.array([1.2, 0.8, 2.0], np.float32)), cfg,
+                lambda out: jnp.mean(out.image ** 2), sampling_rate=0.8)
