@@ -964,20 +964,24 @@ def value_and_grad_blockwise(
     sampling_rate: Optional[float] = None,
     key: Optional[Array] = None,
     ert: bool = True,
+    loss_args: tuple = (),
 ):
     """Loss + (d_volume, d_tf) via a HOST-level per-march-block backward.
 
     Semantically identical to ``jax.value_and_grad`` over
     ``loss_fn(render(...))`` w.r.t. ``(volume, tf)`` — same block math,
-    same ERT gating, same custom VJPs — but partitioned into THREE small
+    same ERT gating, same custom VJPs — but partitioned into FIVE small
     jit programs instead of one monolith:
 
-      1. one forward-block program, reused for every block (``s0`` is a
+      1. one ray/SoA setup program (``_blockwise_rays_program``);
+      2. in sorted mode, one march-table prep program (the multi-GB
+         table build stays out of every block program's buffer budget);
+      3. one forward-block program, reused for every block (``s0`` is a
          traced argument), with the per-block entry carries saved on
          device (``n_blocks * 5 * H * W`` floats — a few MB);
-      2. one loss-head program (final image + ``loss_fn``), whose VJP
+      4. one loss-head program (final image + ``loss_fn``), whose VJP
          yields the carry cotangent;
-      3. one backward-block program (fwd recompute + VJP of one block),
+      5. one backward-block program (fwd recompute + VJP of one block),
          reused in reverse block order with gradient accumulation.
 
     Why: at 512^3 the monolithic backward with ``march_vjp='sorted'``
@@ -995,7 +999,16 @@ def value_and_grad_blockwise(
     :func:`render` for camera gradients.
 
     Args:
-        loss_fn: maps a :class:`RenderOutput` to a scalar loss.
+        loss_fn: maps ``(RenderOutput, *loss_args)`` to a scalar loss.
+            Must be a STABLE, PURE function: the jitted loss head is
+            cached on ``loss_fn``'s identity, so a fresh lambda per
+            training step recompiles the head every step, and a reused
+            function object whose closure is mutated between calls
+            serves stale baked-in constants.  Pass per-step data (e.g.
+            target images) via ``loss_args``, which are traced jit
+            arguments and are differentiated around correctly.
+        loss_args: extra traced arrays forwarded to ``loss_fn`` (no
+            gradients are returned for them).
     Returns:
         (loss, (d_volume, d_tf))
     """
@@ -1003,56 +1016,93 @@ def value_and_grad_blockwise(
     if config.march_vjp == "tiled":
         raise ValueError("value_and_grad_blockwise supports march_vjp "
                          "'ad' and 'sorted', not 'tiled'")
+    kind = config.resolved_march_table()
+    if config.march_vjp == "sorted" and kind not in ("super64", "super64s2"):
+        # Same constraint as march_diff (render.py:416): with any other
+        # table the sorted hand-VJP branch never fires, and because the
+        # blockwise path stop_gradient's vol_op, d_volume would be
+        # silently all zeros instead of an error.
+        raise ValueError(
+            "march_vjp='sorted' requires march_table super64 or "
+            f"super64s2; got {kind}")
     volume = jnp.asarray(volume, jnp.float32)
     tf = jnp.asarray(tf, jnp.float32)
-    rays = make_rays(look_from, config, sr, jitter_key=key)
-    params = march_params(rays)
     H, W = config.image_shape
     N = H * W
     n_steps = config.diff_march_steps(float(sr))
     block = max(1, min(config.block_size, n_steps))
     n_blocks = -(-n_steps // block)
-    fwd_block, bwd_block = _blockwise_programs(config, float(sr), ert, block)
+    prep_vol, fwd_block, bwd_block = _blockwise_programs(
+        config, float(sr), ert, block)
     loss_head = _blockwise_head(loss_fn, config)
-    soa = _ray_soa(rays, params)
+    setup = _blockwise_rays_program(config, float(sr), key is not None)
+    origin, ray_n_samples, soa = setup(
+        jnp.asarray(look_from, jnp.float32),
+        key if key is not None else jax.random.PRNGKey(0))
+    vol_tbl = prep_vol(volume) if prep_vol is not None else None
 
     zero = jnp.zeros((N,), jnp.float32)
     accs = (zero, zero, zero, zero)
     cnt = jnp.ones((N,), jnp.int32)
-    origin = rays.origin
     carries = []
     for b in range(n_blocks):
         carries.append((accs, cnt))
-        accs, cnt = fwd_block(volume, tf, soa, origin, accs, cnt,
+        accs, cnt = fwd_block(volume, tf, vol_tbl, soa, origin, accs, cnt,
                               jnp.int32(b * block))
 
     loss, head_vjp = jax.vjp(
-        lambda a: loss_head(a, cnt, rays.n_samples), accs)
+        lambda a: loss_head(a, cnt, ray_n_samples, loss_args), accs)
     (d_accs,) = head_vjp(jnp.float32(1.0))
 
     d_volume = jnp.zeros_like(volume)
     d_tf = jnp.zeros_like(tf)
     for b in range(n_blocks - 1, -1, -1):
         accs_b, cnt_b = carries[b]
-        dv, dt, d_accs = bwd_block(volume, tf, soa, origin, accs_b, cnt_b,
-                                   jnp.int32(b * block), d_accs)
+        dv, dt, d_accs = bwd_block(volume, tf, vol_tbl, soa, origin,
+                                   accs_b, cnt_b, jnp.int32(b * block),
+                                   d_accs)
         d_volume = d_volume + dv
         d_tf = d_tf + dt
     return loss, (d_volume, d_tf)
 
 
 @functools.lru_cache(maxsize=32)
+def _blockwise_rays_program(config: RenderConfig, sr: float, jittered: bool):
+    """ONE jitted program for the whole ray/SoA setup of
+    :func:`value_and_grad_blockwise`.
+
+    Eager ``make_rays`` at 512^2 shapes emits dozens of small eager ops;
+    on the axon stack each is its own remote compile, and many short-lived
+    compiles congest the helper (CLAUDE.md rule 6).  Tracing the setup
+    keeps the host-level loop's program count bounded (five total)."""
+
+    @jax.jit
+    def setup(look_from, key):
+        rays = make_rays(look_from, config, sr,
+                         jitter_key=key if jittered else None)
+        params = march_params(rays)
+        return rays.origin, rays.n_samples, _ray_soa(rays, params)
+
+    return setup
+
+
+@functools.lru_cache(maxsize=32)
 def _blockwise_head(loss_fn, config: RenderConfig):
     """Jitted loss head for :func:`value_and_grad_blockwise`, cached per
-    (loss_fn, config) so repeated training steps reuse the compile."""
+    (loss_fn, config) so repeated training steps reuse the compile.
+
+    ``loss_fn`` must be a stable, pure function (see
+    :func:`value_and_grad_blockwise`): the cache keys on its identity and
+    jit bakes in its closure at first trace.  Per-step data (targets)
+    belongs in ``loss_args``, which is a traced jit argument here."""
     H, W = config.image_shape
 
     @jax.jit
-    def loss_head(accs, cnt, ns):
+    def loss_head(accs, cnt, ns, loss_args):
         img = jnp.stack(accs, axis=-1).reshape(H, W, 4)
         out = RenderOutput(image=img, valid_steps=cnt.reshape(H, W),
                            n_samples=ns)
-        return loss_fn(out)
+        return loss_fn(out, *loss_args)
 
     return loss_head
 
@@ -1066,13 +1116,37 @@ def _blockwise_programs(config: RenderConfig, sr: float, ert: bool,
     block of every training step reuses the same two compiles."""
     grp = _safe_supercell_group(config, sr, block)
     sorted_vjp = config.march_vjp == "sorted"
+    kind = config.resolved_march_table()
 
-    def _one_block(v, t, soa_, origin_, accs, cnt, s0):
-        """One march block: the body of :func:`march_diff`'s scan, with
-        the volume/TF prep traced per program (cheap next to the march)."""
-        kind_op, vol_op = _prep_volume(v, config)
+    if sorted_vjp:
+        # The march table gets its OWN program.  In sorted mode the table
+        # is stop_gradient'd (d_volume comes from the hand-VJP's sorted
+        # placement, not through the table build), so it can be built
+        # once per step and passed to every block as a plain argument.
+        # This matters twice at 512^3: the (X*Y*Z/8, 64) stride-2 table
+        # is 4.3 GB, and (a) rebuilding it inside each of the 2*n_blocks
+        # block calls wastes HBM bandwidth, (b) its build intermediates
+        # push the per-block programs over the remote compile helper's
+        # buffer-pressure limit (experiments/r5_sorted512_results.jsonl,
+        # r6_bisect512 rows: the b64 fwd block with an inline table build
+        # fails to compile; the same block with the table as an argument
+        # is the fix this hoist encodes).
+        @jax.jit
+        def prep_vol(v):
+            return _prep_volume(v, config)[1]
+    else:
+        prep_vol = None
+
+    def _one_block(v, t, vol_tbl, soa_, origin_, accs, cnt, s0):
+        """One march block: the body of :func:`march_diff`'s scan.  In
+        sorted mode ``vol_tbl`` is the hoisted march table (see
+        ``prep_vol``); in AD mode it is None and the table build is
+        traced into the block so d_volume flows through it."""
         if sorted_vjp:
-            vol_op = jax.lax.stop_gradient(vol_op)
+            kind_op = kind
+            vol_op = jax.lax.stop_gradient(vol_tbl)
+        else:
+            kind_op, vol_op = _prep_volume(v, config)
         tf_op = _prep_tf(t, config)
 
         def eval_block(carry, s0):
@@ -1107,16 +1181,16 @@ def _blockwise_programs(config: RenderConfig, sr: float, ert: bool,
     fwd_block = jax.jit(_one_block)
 
     @jax.jit
-    def bwd_block(v, t, soa_, origin_, accs, cnt, s0, d_accs):
+    def bwd_block(v, t, vol_tbl, soa_, origin_, accs, cnt, s0, d_accs):
         # cnt is an int carry: non-differentiable, held fixed; the block's
         # output counts are recomputed by the forward pass that saved the
         # carries, so only the accs cotangent flows here.
         _, vjp = jax.vjp(
-            lambda v_, t_, a_: _one_block(v_, t_, soa_, origin_, a_, cnt,
-                                          s0)[0], v, t, accs)
+            lambda v_, t_, a_: _one_block(v_, t_, vol_tbl, soa_, origin_,
+                                          a_, cnt, s0)[0], v, t, accs)
         return vjp(d_accs)
 
-    return fwd_block, bwd_block
+    return prep_vol, fwd_block, bwd_block
 
 
 @functools.partial(jax.jit, static_argnames=("config", "sampling_rate", "ert"))
