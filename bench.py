@@ -316,6 +316,50 @@ def main():
         except Exception as e:
             errors["fidelity"] = f"{type(e).__name__}: {e}"[:300]
 
+    # Roofline context (the honest MFU analogue for a gather-bound
+    # workload): the march forward is bounded by the measured 64-wide-row
+    # gather price (~10.5 ns/idx, experiments/row_scatter_results.jsonl
+    # gather_grid W=64 rows) and the sorted backward by the measured
+    # sorted-window placement price (~29.4 ns/row,
+    # r4_full_block_sorted_windows).  The floor charges one row gather per
+    # supercell step-group on the forward and one placement row per group
+    # on the backward (remat saves the march residuals, so the backward
+    # re-issues NO gathers).  "pct_of_attainable" divides the ERT-aware
+    # floor by the measured step time.
+    roofline = None
+    try:
+        from differender_tpu.geometry import make_rays
+        G = cfg_grad.supercell_group(SR)
+        GATHER_NS, PLACE_NS = 10.5, 29.4
+
+        @jax.jit
+        def _ns_nominal(lf):
+            rays = make_rays(lf, cfg_grad, SR)
+            return jnp.sum(jnp.minimum(rays.n_samples, MAX_SAMPLES))
+
+        @jax.jit
+        def _ns_ert(v, t, lf):
+            return jnp.sum(render(v, t, lf, cfg_grad,
+                                  sampling_rate=SR).valid_steps)
+
+        nominal = float(_ns_nominal(jnp.asarray(lf0)))
+        eff = float(_ns_ert(vol_noise, tf, jnp.asarray(lf0)))
+        floor_nom = nominal / G * (GATHER_NS + PLACE_NS) * 1e-9
+        floor_ert = eff / G * (GATHER_NS + PLACE_NS) * 1e-9
+        roofline = {
+            "gather_floor_ns_per_row": GATHER_NS,
+            "sorted_place_floor_ns_per_row": PLACE_NS,
+            "supercell_group": G,
+            "marched_samples_nominal": int(nominal),
+            "marched_samples_ert": int(eff),
+            "fwd_bwd_floor_s_nominal": round(floor_nom, 4),
+            "fwd_bwd_floor_s_ert": round(floor_ert, 4),
+            "fwd_bwd_pct_of_attainable": round(100.0 * floor_ert / step_s,
+                                               1),
+        }
+    except Exception as e:
+        errors["roofline"] = f"{type(e).__name__}: {e}"[:300]
+
     try:
         cpu = measure_cpu_baseline()
         vs_baseline = cpu["cpu_step_s_extrapolated"] / step_s
@@ -354,6 +398,7 @@ def main():
             "shearwarp_steps_per_s": (round(1.0 / sw_step_s, 4)
                                       if sw_step_s else None),
             **fid_out,
+            "roofline": roofline,
             "errors": errors or None,
         },
     }))

@@ -182,6 +182,15 @@ class RenderConfig:
                                      # (loud) instead of silently clamping
                                      # to wrong voxels.  Enable when
                                      # validating a new tile/box/fov combo.
+    camera_grads: bool = False       # declare intent to jax.grad w.r.t.
+                                     # look_from (beyond the reference,
+                                     # which never differentiates the
+                                     # camera).  Camera grads flow ONLY on
+                                     # march_vjp='ad'; with 'tiled'/'sorted'
+                                     # the hand-VJPs drop sample-position
+                                     # cotangents, so render() REFUSES the
+                                     # combination instead of returning
+                                     # silently-wrong camera grads.
     occupancy_skip: bool = True      # nondiff path: macrocell distance-
                                      # field empty-space jumps (semantics-
                                      # exact — skipped samples provably sit

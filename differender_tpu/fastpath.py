@@ -477,3 +477,86 @@ def render_fast_sharded(
     return jax.jit(fn)(jnp.asarray(volume, jnp.float32),
                        jnp.asarray(tf, jnp.float32),
                        jnp.asarray(look_from, jnp.float32))
+
+
+# --------------------------------------------------------------------------
+# Fidelity policy (round 4): the shear-warp quadrature is approximate and
+# its error is CONTENT-dependent — structured scenes pass an SSIM-0.9 gate
+# at the default density while high-frequency/unstructured content (e.g.
+# uniform noise) fails it badly (round-3 bench: noise-scene SSIM 0.58).
+# Nothing in the reference corresponds to this (it has one exact renderer);
+# the policy exists so `raycast_fast` speed can never silently cost
+# correctness: densify until the gate passes, else fall back to exact.
+# --------------------------------------------------------------------------
+
+_FAST_LADDER = ((None, 2.0), (768, 3.0), (1024, 4.0))
+
+
+def choose_fast_params(volume, tf, look_from, config: RenderConfig,
+                       ssim_gate: float = 0.9,
+                       ladder=_FAST_LADDER,
+                       precision=jax.lax.Precision.HIGH) -> dict:
+    """Pick the cheapest shear-warp density whose render passes an SSIM
+    gate against the exact renderer for THIS scene/TF/view.
+
+    Renders the exact image once, then walks ``ladder`` (pairs of
+    ``(intermediate, planes_per_voxel)``) until SSIM >= ``ssim_gate``.
+    Returns a dict: ``renderer`` ("shearwarp" or "exact" when no rung
+    passes), the chosen ``intermediate``/``planes_per_voxel``, and the
+    per-rung ``ssim`` trace.  Intended use: call once per scene (eager,
+    costs one exact render + one fast render per rung tried), then reuse
+    the returned params with :func:`render_fast` for the cheap repeated
+    renders; ``raycast_nondiff`` stays the exact fallback.
+    """
+    from .losses import ssim as _ssim
+    from .render import render as _render
+
+    volume = jnp.asarray(volume, jnp.float32)
+    tf = jnp.asarray(tf, jnp.float32)
+    look_from = jnp.asarray(look_from, jnp.float32)
+    exact = jax.jit(lambda v, t, l: _render(
+        v, t, l, config, sampling_rate=config.sampling_rate).image)(
+        volume, tf, look_from)
+    exact_cf = jnp.moveaxis(exact, -1, 0)
+    trace = []
+    for inter, ppv in ladder:
+        img = render_fast(volume, tf, look_from, config, intermediate=inter,
+                          planes_per_voxel=ppv, precision=precision).image
+        ss = float(_ssim(jnp.moveaxis(img, -1, 0), exact_cf))
+        trace.append({"intermediate": inter, "planes_per_voxel": ppv,
+                      "ssim": round(ss, 4)})
+        if ss >= ssim_gate:
+            return {"renderer": "shearwarp", "intermediate": inter,
+                    "planes_per_voxel": ppv, "ssim": round(ss, 4),
+                    "ssim_gate": ssim_gate, "trace": trace}
+    return {"renderer": "exact", "intermediate": None,
+            "planes_per_voxel": None, "ssim": None,
+            "ssim_gate": ssim_gate, "trace": trace}
+
+
+def render_fast_auto(volume, tf, look_from, config: RenderConfig,
+                     ssim_gate: float = 0.9, ladder=_FAST_LADDER,
+                     precision=jax.lax.Precision.HIGH):
+    """Shear-warp render with the fidelity gate applied: returns
+    ``(output, info)`` where ``info`` is :func:`choose_fast_params`'s
+    policy record.  When no ladder rung passes the gate the output is the
+    EXACT renderer's (``info["renderer"] == "exact"``) — a user on
+    unstructured content gets a slower-but-correct image instead of a
+    silently wrong one.
+    """
+    from .render import render as _render
+
+    info = choose_fast_params(volume, tf, look_from, config,
+                              ssim_gate=ssim_gate, ladder=ladder,
+                              precision=precision)
+    if info["renderer"] == "shearwarp":
+        out = render_fast(volume, tf, look_from, config,
+                          intermediate=info["intermediate"],
+                          planes_per_voxel=info["planes_per_voxel"],
+                          precision=precision)
+        return out, info
+    out = _render(jnp.asarray(volume, jnp.float32),
+                  jnp.asarray(tf, jnp.float32),
+                  jnp.asarray(look_from, jnp.float32), config,
+                  sampling_rate=config.sampling_rate)
+    return out, info

@@ -66,13 +66,22 @@ class Raycaster:
         fov / near / far: perspective camera parameters.
         seed: seed of the internal convenience PRNG used when no explicit
             ``key`` is passed to :meth:`forward`.
+        batch_mode: batched-forward execution strategy.  "scan" (default)
+            marches views sequentially in one program, keeping each
+            view's ERT block skip a real branch; "vmap" lowers the skip
+            cond to a select (both branches run — every view pays the
+            batch's deepest ray; kept for cross-checking and for callers
+            that need a vmappable batch axis).
     """
 
     def __init__(self, volume_shape, output_shape, tf_shape: int,
                  sampling_rate: float = 1.0, jitter: bool = True,
                  max_samples: int = 512, fov: float = 30.0,
                  near: float = 0.1, far: float = 100.0, seed: int = 0,
-                 **config_kwargs):
+                 batch_mode: str = "scan", **config_kwargs):
+        if batch_mode not in ("scan", "vmap"):
+            raise ValueError(f"batch_mode must be 'scan' or 'vmap'; got "
+                             f"{batch_mode!r}")
         d, h, w = volume_shape
         internal_shape = (w, d, h)  # (`:481`)
         self.config = RenderConfig(
@@ -89,6 +98,7 @@ class Raycaster:
         self.tf_shape = tf_shape
         self.sampling_rate = sampling_rate
         self.jitter = jitter
+        self.batch_mode = batch_mode
         self._key = jax.random.PRNGKey(seed)
 
     # -- RNG convenience -------------------------------------------------
@@ -161,10 +171,33 @@ class Raycaster:
 
         if batched:
             keys = (jax.random.split(key, bs) if key is not None else None)
-            fn = jax.vmap(
-                lambda v, t, l, k: render(v, t, l, self.config, sr, key=k),
-                in_axes=(0, 0, 0, 0 if keys is not None else None))
-            out = fn(vol, tf_i, lf, keys)
+            if self.batch_mode == "vmap":
+                fn = jax.vmap(
+                    lambda v, t, l, k: render(v, t, l, self.config, sr,
+                                              key=k),
+                    in_axes=(0, 0, 0, 0 if keys is not None else None))
+                out = fn(vol, tf_i, lf, keys)
+            else:
+                # "scan" (default): one program marches the views in
+                # sequence.  Under vmap the per-block ERT skip cond lowers
+                # to a select — BOTH branches execute and every view
+                # marches to the batch's deepest ray; under lax.scan the
+                # cond stays a real branch, so each view terminates at its
+                # own depth (the same trick as
+                # parallel.train_step_views's local-view scan).
+                def body(c, xs):
+                    if keys is not None:
+                        v, t, l, k = xs
+                    else:
+                        (v, t, l), k = xs, None
+                    o = render(v, t, l, self.config, sr, key=k)
+                    return c, (o.image, o.valid_steps, o.n_samples)
+
+                xs = ((vol, tf_i, lf) if keys is None
+                      else (vol, tf_i, lf, keys))
+                _, (img, vsteps, ns) = jax.lax.scan(body, (), xs)
+                out = RenderOutput(image=img, valid_steps=vsteps,
+                                   n_samples=ns)
             image = jnp.transpose(out.image, (0, 3, 1, 2))   # (BS, 4, H, W)
         else:
             out = render(vol, tf_i, lf, self.config, sr, key=key)

@@ -217,6 +217,37 @@ def _prep_tf(tf: Array, config: RenderConfig):
     return tf if tf.shape[0] <= 1024 else tf_table8(tf)
 
 
+def _block_positions(origin, soa: "_RaySoA", steps):
+    """March positions of a step block, (K, N) per component.  The ONE
+    place this formula lives: the forward march and the split backward's
+    placement program must recompute bitwise-identical positions."""
+    steps2 = steps if steps.ndim == 2 else steps[:, None]
+    t = soa.t0[None] + steps2.astype(jnp.float32) * soa.dt[None]
+    px = origin[0] + t * soa.dx[None]
+    py = origin[1] + t * soa.dy[None]
+    pz = origin[2] + t * soa.dz[None]
+    return px, py, pz
+
+
+def _block_sample_spec(config: RenderConfig, kind: str, super_group: int,
+                       sorted_mode: bool, n_tiles: int = 1):
+    """SampleSpec for the hand-VJP samplers — shared between
+    :func:`_eval_block_soa` and the blockwise placement program so both
+    halves of the split backward agree on grouping/windowing exactly."""
+    from .sampling import SampleSpec
+    return SampleSpec(volume_shape=tuple(config.volume_shape),
+                      delta=float(config.normal_delta),
+                      group=(super_group
+                             if (sorted_mode or config.analytic_normals)
+                             else 1),
+                      parity=not config.analytic_normals,
+                      n_tiles=n_tiles, box=config.vjp_box,
+                      check=config.vjp_check,
+                      box_rows=config.vjp_box_rows,
+                      window_rows=config.vjp_window_rows,
+                      stride2=kind == "super64s2")
+
+
 def _eval_block_soa(vol_op, tf_op, origin, soa: _RaySoA, steps, sampling_rate,
                     config: RenderConfig, clamp_light: bool,
                     super_group: int = 1, tiled_volume=None,
@@ -234,32 +265,25 @@ def _eval_block_soa(vol_op, tf_op, origin, soa: _RaySoA, steps, sampling_rate,
     """
     kind, vol_op = vol_op
     steps2 = steps if steps.ndim == 2 else steps[:, None]   # (K, N) or (K, 1)
-    t = soa.t0[None] + steps2.astype(jnp.float32) * soa.dt[None]
-    px = origin[0] + t * soa.dx[None]                       # (K, N)
-    py = origin[1] + t * soa.dy[None]
-    pz = origin[2] + t * soa.dz[None]
+    px, py, pz = _block_positions(origin, soa, steps2)      # (K, N)
     if kind in ("super64", "super64s2") and tiled_volume is not None:
-        from .sampling import (SampleSpec, sample_block_sorted,
+        from .sampling import (sample_block_defer, sample_block_sorted,
                                sample_block_sorted2, sample_block_tiled)
         # The tiled parity forward is ungrouped (group 1); sorted is
         # grouped in both modes, exactly like the AD path.
-        sorted_mode = vjp_mode == "sorted"
-        if kind == "super64s2":
+        sorted_mode = vjp_mode in ("sorted", "defer")
+        if vjp_mode == "defer":
+            # tiled_volume is the cotangent MAILBOX (see
+            # sampling.sample_block_defer) — placement runs in the
+            # caller's separate program via sorted_place_cot.
+            hand_fn = sample_block_defer
+        elif kind == "super64s2":
             hand_fn = sample_block_sorted2      # march_diff validates mode
         else:
             hand_fn = (sample_block_sorted if sorted_mode
                        else sample_block_tiled)
-        spec = SampleSpec(volume_shape=tuple(config.volume_shape),
-                          delta=float(config.normal_delta),
-                          group=(super_group
-                                 if (sorted_mode or config.analytic_normals)
-                                 else 1),
-                          parity=not config.analytic_normals,
-                          n_tiles=n_tiles, box=config.vjp_box,
-                          check=config.vjp_check,
-                          box_rows=config.vjp_box_rows,
-                          window_rows=config.vjp_window_rows,
-                          stride2=kind == "super64s2")
+        spec = _block_sample_spec(config, kind, super_group, sorted_mode,
+                                  n_tiles)
         _hand_fn = functools.partial(hand_fn, spec, tiled_volume)
 
         def sample(tbl, _shape, px_, py_, pz_, _delta):
@@ -417,6 +441,15 @@ def march_diff(
         raise ValueError(
             "march_vjp='sorted' requires march_table super64 or "
             f"super64s2; got {kind}")
+    if config.camera_grads and (tiled or sorted_vjp):
+        # The hand-written VJPs return ZERO sample-position cotangents, so
+        # a jax.grad w.r.t. look_from through them is silently wrong (the
+        # reference has no camera grads at all; ours exist only on the AD
+        # path).  Fail loudly instead of dropping terms.
+        raise ValueError(
+            "camera_grads=True requires march_vjp='ad' (the 'tiled'/"
+            "'sorted' hand-VJPs drop the sample-position cotangent terms); "
+            f"got march_vjp={config.march_vjp!r}")
 
     if tiled:
         # Tile-major pixel order: the hand-written VJP scatters volume
@@ -981,16 +1014,26 @@ def value_and_grad_blockwise(
          device (``n_blocks * 5 * H * W`` floats — a few MB);
       4. one loss-head program (final image + ``loss_fn``), whose VJP
          yields the carry cotangent;
-      5. one backward-block program (fwd recompute + VJP of one block),
-         reused in reverse block order with gradient accumulation.
+      5. one backward-block program reused in reverse block order with
+         gradient accumulation.  In AD mode it is the VJP of one block;
+         in sorted mode the backward is SPLIT one level further into
+      6. a cotangent program (march recompute + composite/TF VJP,
+         emitting the per-sample (4, K, N) cotangent stack) and a
+         placement program (positions recomputed from the ray SoA +
+         :func:`differender_tpu.sampling.sorted_place_cot` into a
+         donated d_volume accumulator).
 
     Why: at 512^3 the monolithic backward with ``march_vjp='sorted'``
     exceeds the remote-compile helper's buffer-pressure limit at EVERY
     strip count / box / window size (experiments/r5_sorted512_results
-    .jsonl), yet the sorted placement loop compiles and runs standalone.
-    Strips shrink the RAYS axis but keep all blocks (and all placement
-    instances) in one program; this partitions the BLOCKS axis, so each
-    program holds exactly one block's march and one placement instance.
+    .jsonl), yet the sorted placement loop compiles and runs standalone
+    — and the r6_bisect512 rows show even ONE block's march recompute
+    plus ONE placement instance in one program is over the limit, while
+    each half compiles alone.  Strips shrink the RAYS axis but keep all
+    blocks (and all placement instances) in one program; this partitions
+    the BLOCKS axis and then splits each block's backward at the
+    sampler boundary, so no program ever holds the march table and the
+    volume-grad accumulator together.
 
     Do NOT wrap this in an outer ``jax.jit`` — that inlines the host loop
     back into one program and forfeits the size bound (same caveat as
@@ -1032,7 +1075,7 @@ def value_and_grad_blockwise(
     n_steps = config.diff_march_steps(float(sr))
     block = max(1, min(config.block_size, n_steps))
     n_blocks = -(-n_steps // block)
-    prep_vol, fwd_block, bwd_block = _blockwise_programs(
+    prep_vol, fwd_block, bwd_block, place_block = _blockwise_programs(
         config, float(sr), ert, block)
     loss_head = _blockwise_head(loss_fn, config)
     setup = _blockwise_rays_program(config, float(sr), key is not None)
@@ -1058,10 +1101,18 @@ def value_and_grad_blockwise(
     d_tf = jnp.zeros_like(tf)
     for b in range(n_blocks - 1, -1, -1):
         accs_b, cnt_b = carries[b]
-        dv, dt, d_accs = bwd_block(volume, tf, vol_tbl, soa, origin,
-                                   accs_b, cnt_b, jnp.int32(b * block),
-                                   d_accs)
-        d_volume = d_volume + dv
+        s0 = jnp.int32(b * block)
+        if place_block is not None:
+            # Split backward (sorted mode): march-recompute cotangents and
+            # sorted-window placement in separate programs; d_volume is a
+            # DONATED accumulator so the placement updates it in place.
+            dt, d_accs, cots = bwd_block(tf, vol_tbl, soa, origin,
+                                         accs_b, cnt_b, s0, d_accs)
+            d_volume = place_block(d_volume, soa, origin, s0, cots)
+        else:
+            dv, dt, d_accs = bwd_block(volume, tf, vol_tbl, soa, origin,
+                                       accs_b, cnt_b, s0, d_accs)
+            d_volume = d_volume + dv
         d_tf = d_tf + dt
     return loss, (d_volume, d_tf)
 
@@ -1137,16 +1188,24 @@ def _blockwise_programs(config: RenderConfig, sr: float, ert: bool,
     else:
         prep_vol = None
 
-    def _one_block(v, t, vol_tbl, soa_, origin_, accs, cnt, s0):
+    def _one_block(v, t, vol_tbl, soa_, origin_, accs, cnt, s0,
+                   cot_sink=None):
         """One march block: the body of :func:`march_diff`'s scan.  In
         sorted mode ``vol_tbl`` is the hoisted march table (see
         ``prep_vol``); in AD mode it is None and the table build is
-        traced into the block so d_volume flows through it."""
+        traced into the block so d_volume flows through it.  With
+        ``cot_sink`` (split backward only) the sampler's VJP routes the
+        per-sample cotangents out through the sink instead of placing
+        them (``v`` is then unused)."""
         if sorted_vjp:
             kind_op = kind
             vol_op = jax.lax.stop_gradient(vol_tbl)
+            tv = v if cot_sink is None else cot_sink
+            mode = config.march_vjp if cot_sink is None else "defer"
         else:
             kind_op, vol_op = _prep_volume(v, config)
+            tv = None
+            mode = config.march_vjp
         tf_op = _prep_tf(t, config)
 
         def eval_block(carry, s0):
@@ -1155,9 +1214,8 @@ def _blockwise_programs(config: RenderConfig, sr: float, ert: bool,
             pr, pg, pb, pa, _, in_range = _eval_block_soa(
                 (kind_op, vol_op), tf_op, origin_,
                 soa_, steps, jnp.float32(sr), config, clamp_light=True,
-                super_group=grp,
-                tiled_volume=v if sorted_vjp else None,
-                n_tiles=1, vjp_mode=config.march_vjp)
+                super_group=grp, tiled_volume=tv,
+                n_tiles=1, vjp_mode=mode)
             a, c, _ = composite_block_soa(a, c, pr, pg, pb, pa,
                                           in_range, config, ert=ert)
             return (a, c), None
@@ -1180,6 +1238,59 @@ def _blockwise_programs(config: RenderConfig, sr: float, ert: bool,
 
     fwd_block = jax.jit(_one_block)
 
+    if sorted_vjp:
+        # SPLIT backward (the 512^3 design point): the march recompute and
+        # the sorted-window placement get SEPARATE programs.  The
+        # r6_bisect512 rows show each half compiles standalone at
+        # 512^3-s2 shapes while their union exceeds the remote compile
+        # helper's buffer budget at every block size: the cot program
+        # holds the multi-GB march table, the placement program holds the
+        # (X,Y,Z) accumulator — never both.
+        H, W = config.image_shape
+        N = H * W
+
+        @jax.jit
+        def bwd_cot(t, vol_tbl, soa_, origin_, accs, cnt, s0, d_accs):
+            # cnt is an int carry: non-differentiable, held fixed; only
+            # the accs cotangent flows here.
+            sink = jnp.zeros((4, block, N), jnp.float32)
+            _, vjp = jax.vjp(
+                lambda t_, a_, sink_: _one_block(
+                    None, t_, vol_tbl, soa_, origin_, a_, cnt, s0,
+                    cot_sink=sink_)[0],
+                t, accs, sink)
+            d_tf, d_accs_prev, cots = vjp(d_accs)
+            return d_tf, d_accs_prev, cots
+
+        @jax.jit
+        def fold_block(soa_, origin_, s0, cots):
+            from .sampling import sorted_fold_cot
+            steps = s0 + jnp.arange(block, dtype=jnp.int32)
+            px, py, pz = _block_positions(origin_, soa_, steps)
+            spec = _block_sample_spec(config, kind, grp, True)
+            return sorted_fold_cot(spec, px, py, pz, cots)
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def place_rows(d_vol, base, d_rows):
+            from .sampling import _sorted_volume_grad
+            spec = _block_sample_spec(config, kind, grp, True)
+            return d_vol + _sorted_volume_grad(spec, base, d_rows)
+
+        def place_block(d_vol, soa_, origin_, s0, cots):
+            # TWO programs on purpose: the fold's (Mg, 64) hat-weight
+            # intermediates and the placement's (X, Y, Z) accumulator each
+            # fill most of the compile helper's buffer budget alone
+            # (r6_bisect512: fused fold+place fails at 512^3 where
+            # _sorted_volume_grad compiled at 2x the row count).
+            base, d_rows = fold_block(soa_, origin_, s0, cots)
+            return place_rows(d_vol, base, d_rows)
+
+        # Expose the two jitted halves for AOT bisection/attribution
+        # (experiments/exp_r6_blockwise512_bisect.py).
+        place_block.fold_block = fold_block
+        place_block.place_rows = place_rows
+        return prep_vol, fwd_block, bwd_cot, place_block
+
     @jax.jit
     def bwd_block(v, t, vol_tbl, soa_, origin_, accs, cnt, s0, d_accs):
         # cnt is an int carry: non-differentiable, held fixed; the block's
@@ -1190,7 +1301,7 @@ def _blockwise_programs(config: RenderConfig, sr: float, ert: bool,
                                           a_, cnt, s0)[0], v, t, accs)
         return vjp(d_accs)
 
-    return prep_vol, fwd_block, bwd_block
+    return prep_vol, fwd_block, bwd_block, None
 
 
 @functools.partial(jax.jit, static_argnames=("config", "sampling_rate", "ert"))

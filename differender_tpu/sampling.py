@@ -1163,11 +1163,21 @@ def _sorted_volume_grad(spec: SampleSpec, base: Array, d_rows: Array):
     # construction gives zero weight to voxels >= size), same argument as
     # the tiled path's padded accumulator.
     if spec.stride2:
-        # Interleave the even/odd half-lattices: voxel 2i <- even[i],
-        # 2i+1 <- odd[i].  One (Ck, 2)-shaped op per CALL, outside the
-        # pass loop (CLAUDE.md rule 3 applies to per-pass tensors).
-        return jnp.stack([d_flat[0, :Ck], d_flat[1, :Ck]],
-                         axis=-1).reshape(X, Y, Z)
+        # Interleave the even/odd half-lattices: flat voxel 2i <- even[i],
+        # 2i+1 <- odd[i] (flat-index parity == z parity; Z is even).  Via
+        # interior-dilated pads, NOT a (Ck, 2) stack: a tensor with minor
+        # dim 2 tile-pads up to 64x on TPU (CLAUDE.md rule 3) — at 512^3
+        # that padded intermediate alone (~34 GB) crashed the remote
+        # compile helper whenever the full d_volume was a program OUTPUT
+        # (r7_place_bisect: the chained-scalar form compiled, the
+        # full-array form failed; the interleave was the only graph delta).
+        Zh = Z // 2
+        e2 = d_flat[0, :Ck].reshape(X * Y, Zh)
+        o2 = d_flat[1, :Ck].reshape(X * Y, Zh)
+        zero = jnp.float32(0.0)
+        out = (jax.lax.pad(e2, zero, ((0, 0, 0), (0, 1, 1)))
+               + jax.lax.pad(o2, zero, ((0, 0, 0), (1, 0, 1))))
+        return out.reshape(X, Y, Z)
     return d_flat[0, :C].reshape(X, Y, Z)
 
 
@@ -1334,6 +1344,90 @@ def _sample_block_sorted2_bwd(spec, res, cot):
 
 sample_block_sorted2.defvjp(_sample_block_sorted2_fwd,
                             _sample_block_sorted2_bwd)
+
+
+def sorted_fold_cot(spec: SampleSpec, px, py, pz, cot_stack):
+    """The hat-weight FOLD of the sorted-window VJP as a standalone entry
+    point: per-sample cotangents -> (base keys, 64-lane cotangent rows).
+
+    ``cot_stack`` is the (4, K, N) stack (d_intensity, d_gx, d_gy, d_gz)
+    emitted by :func:`sample_block_defer`'s backward.  Positions are the
+    same (K, N) march positions the forward sampled — recomputable from
+    the ray SoA, so a caller can run this in its OWN jit program with no
+    march table and no gathers (the fold needs only hat weights).
+    """
+    cot = (cot_stack[0], (cot_stack[1], cot_stack[2], cot_stack[3]))
+    X, Y, Z = spec.volume_shape
+    if spec.stride2:
+        bx, by, bz, d_rows = _super_bwd_rows(
+            spec.volume_shape, spec.delta, True, spec.group,
+            px, py, pz, cot, base_of=_even_floor)
+        base = ((bx // 2) * (Y * Z) + (by // 2) * Z
+                + bz // 2).reshape(d_rows.shape[0])
+    else:
+        bx, by, bz, d_rows = _super_bwd_rows(
+            spec.volume_shape, spec.delta, spec.parity, spec.group,
+            px, py, pz, cot)
+        base = ((bx * Y + by) * Z + bz).reshape(d_rows.shape[0])
+    return base, d_rows
+
+
+def sorted_place_cot(spec: SampleSpec, px, py, pz, cot_stack):
+    """Per-sample cotangents -> d_volume: :func:`sorted_fold_cot` followed
+    by the sorted-window placement (:func:`_sorted_volume_grad`).
+
+    Kept as one function for callers that fit in one program; the 512^3
+    split backward runs the two halves as SEPARATE jit programs — the
+    fold's (Mg, 64) hat-weight intermediates and the placement's (X, Y, Z)
+    accumulator each exhaust most of the remote compile helper's buffer
+    budget on their own (r6_bisect512: a fused fold+place program fails
+    where :func:`_sorted_volume_grad` alone compiled at BIGGER row counts,
+    experiments/r5_sorted512_results.jsonl place512 row).
+    """
+    base, d_rows = sorted_fold_cot(spec, px, py, pz, cot_stack)
+    return _sorted_volume_grad(spec, base, d_rows)
+
+
+@_functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def sample_block_defer(spec: SampleSpec, cot_sink, table, px, py, pz):
+    """Supercell sampling whose VJP DEFERS volume-grad placement.
+
+    Forward is identical to :func:`sample_block_sorted` /
+    :func:`sample_block_sorted2` (``spec.stride2`` selects the table
+    flavor).  The backward, instead of running the sorted-window placement
+    in the same program, routes the raw per-sample cotangents out through
+    ``cot_sink`` — a (4,) + px.shape f32 array that is unused in the
+    forward and exists only as a cotangent mailbox.  The caller
+    differentiates w.r.t. ``cot_sink``, receives the (4, K, N) stack, and
+    feeds it to :func:`sorted_place_cot` in a separate jit program.
+    Table and position cotangents are zero (same no-camera-grads contract
+    as the sorted VJPs).
+    """
+    if spec.stride2:
+        return sample_super2_parity(table, spec.volume_shape, px, py, pz,
+                                    spec.delta, group=spec.group)
+    if spec.parity:
+        return sample_super_parity(table, spec.volume_shape, px, py, pz,
+                                   spec.delta, group=spec.group)
+    return sample_super_analytic(table, spec.volume_shape, px, py, pz,
+                                 spec.delta, group=spec.group)
+
+
+def _sample_block_defer_fwd(spec, cot_sink, table, px, py, pz):
+    out = sample_block_defer(spec, cot_sink, table, px, py, pz)
+    return out, (cot_sink.shape, table.shape, px.shape)
+
+
+def _sample_block_defer_bwd(spec, res, cot):
+    sink_shape, tbl_shape, p_shape = res
+    d_int, (d_gx, d_gy, d_gz) = cot
+    d_sink = jnp.stack([d_int, d_gx, d_gy, d_gz]).reshape(sink_shape)
+    zero_tbl = jnp.zeros(tbl_shape, jnp.float32)
+    zp = jnp.zeros(p_shape, jnp.float32)
+    return d_sink, zero_tbl, zp, zp, zp
+
+
+sample_block_defer.defvjp(_sample_block_defer_fwd, _sample_block_defer_bwd)
 
 
 def apply_tf_hat_soa(tf: Array, intensity: Array):

@@ -78,10 +78,13 @@ def run(name, cfg, reps=2):
         return False
 
 
+# Split backward (r6_bisect512: fwd block compiles at b32/b16 with the
+# hoisted table, fails at b64; each backward HALF compiles alone).  Try
+# block 32 first (known-compiling fwd), then b64 as a probe.
 cfg_sorted = RenderConfig(volume_shape=(VOL,) * 3, image_shape=(IMG, IMG),
-                          max_samples=512, block_size=64,
+                          max_samples=512, block_size=32,
                           march_vjp="sorted")
 assert cfg_sorted.resolved_march_table() == "super64s2"
-ok = run("blockwise_sorted_b64", cfg_sorted, reps=2)
-run("blockwise_ad_b64", cfg_sorted.replace(march_vjp="ad"), reps=1)
+ok = run("blockwise_split_sorted_b32", cfg_sorted, reps=2)
+run("blockwise_split_sorted_b64", cfg_sorted.replace(block_size=64), reps=2)
 log(exp="r5_blockwise512", run="done")

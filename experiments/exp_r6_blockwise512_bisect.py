@@ -71,9 +71,10 @@ def sds(shape, dtype=f32):
 
 
 def bisect(cfg, tag):
+    block = cfg.block_size
     setup = _blockwise_rays_program(cfg, 1.0, False)
-    prep_vol, fwd_block, bwd_block = _blockwise_programs(cfg, 1.0, True,
-                                                         cfg.block_size)
+    prep_vol, fwd_block, bwd_block, place_block = _blockwise_programs(
+        cfg, 1.0, True, block)
     ok_setup = compile_one(f"{tag}_setup", setup, sds((3,)), sds((2,),
                            jnp.uint32))
     vol_sds = sds((VOL,) * 3)
@@ -88,8 +89,28 @@ def bisect(cfg, tag):
     fwd_args = (vol_sds, sds((128, 4)), tbl_sds, soa, sds((3,)), accs,
                 sds((N,), i32), sds((), i32))
     ok_fwd = compile_one(f"{tag}_fwd_block", fwd_block, *fwd_args)
-    ok_bwd = compile_one(f"{tag}_bwd_block", bwd_block, *fwd_args,
-                         accs)
+    if place_block is not None:
+        # Split backward: attribute the cotangent, fold, and placement
+        # programs separately (bwd_cot drops the volume arg).
+        ok_cot = compile_one(f"{tag}_bwd_cot", bwd_block, sds((128, 4)),
+                             tbl_sds, soa, sds((3,)), accs,
+                             sds((N,), i32), sds((), i32), accs)
+        cots_sds = sds((4, block, N))
+        ok_fold = compile_one(f"{tag}_fold", place_block.fold_block, soa,
+                              sds((3,)), sds((), i32), cots_sds)
+        if ok_fold is not None:
+            base_sds, rows_sds = jax.eval_shape(
+                place_block.fold_block, soa, sds((3,)), sds((), i32),
+                cots_sds)
+            ok_place = compile_one(f"{tag}_place", place_block.place_rows,
+                                   vol_sds, base_sds, rows_sds)
+        else:
+            ok_place = None
+        ok_bwd = ((ok_cot is not None and ok_fold is not None
+                   and ok_place is not None) or None)
+    else:
+        ok_bwd = compile_one(f"{tag}_bwd_block", bwd_block, *fwd_args,
+                             accs)
     return (ok_setup is not None and ok_prep is not None
             and ok_fwd is not None and ok_bwd is not None)
 
@@ -127,17 +148,15 @@ def run_full(name, cfg, reps=2):
 
 
 cfg_sorted = RenderConfig(volume_shape=(VOL,) * 3, image_shape=(IMG, IMG),
-                          max_samples=512, block_size=64,
-                          march_vjp="sorted")
+                          max_samples=512, march_vjp="sorted",
+                          block_size=32)
 assert cfg_sorted.resolved_march_table() == "super64s2"
 
-if bisect(cfg_sorted, "sorted_b64"):
-    run_full("blockwise_sorted_b64", cfg_sorted, reps=2)
-else:
-    # walk down the block ladder until the bwd block compiles
-    for bs in (32, 16):
-        cfg_bs = cfg_sorted.replace(block_size=bs)
-        if bisect(cfg_bs, f"sorted_b{bs}"):
-            run_full(f"blockwise_sorted_b{bs}", cfg_bs, reps=2)
-            break
+# Split-backward ladder: b32 first (post-hoist fwd block is known to
+# compile at b32/b16 and fail at b64 — r6_bisect512 rows).
+for bs in (32, 16):
+    cfg_bs = cfg_sorted.replace(block_size=bs)
+    if bisect(cfg_bs, f"split_b{bs}"):
+        run_full(f"blockwise_split_b{bs}", cfg_bs, reps=2)
+        break
 log(exp="r6_bisect512", run="bisect_done")

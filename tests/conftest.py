@@ -26,6 +26,46 @@ jax.config.update("jax_enable_x64", False)
 # cost ~6 min for the full suite — correctness wins.
 
 
+def pytest_addoption(parser):
+    parser.addoption(
+        "--runslow", action="store_true", default=False,
+        help="also run tests marked slow (multi-device mesh sweeps, "
+             "compaction ladders — the full tier; see CLAUDE.md)")
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: heavy mesh/compaction tests, skipped unless "
+                   "--runslow (quick tier keeps `pytest -q` usable on the "
+                   "1-core box)")
+
+
+def pytest_collection_modifyitems(config, items):
+    if config.getoption("--runslow"):
+        return
+    skip = pytest.mark.skip(reason="slow tier: pass --runslow")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)
+
+
+def _ensure_voliox():
+    """Build the native ``_voliox`` extension if absent so
+    ``tests/test_io.py`` exercises it instead of skipping (a fresh
+    checkout has no built ``.so``; the build takes seconds)."""
+    import glob
+    import subprocess
+    import sys
+    base = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if not glob.glob(os.path.join(base, "differender_tpu", "_voliox*.so")):
+        subprocess.run(
+            [sys.executable, "setup.py", "build_ext", "--inplace"],
+            cwd=base, capture_output=True, timeout=300, check=False)
+
+
+_ensure_voliox()
+
+
 @pytest.fixture(autouse=True, scope="module")
 def _clear_jax_caches_between_modules():
     """Free compiled executables between test modules.

@@ -103,3 +103,42 @@ def test_slab_batch_padding_is_noop(sphere_volume):
                           slab_batch=B).image
         np.testing.assert_allclose(np.asarray(img), np.asarray(ref),
                                    atol=1e-6)
+
+
+class TestFidelityPolicy:
+    """render_fast_auto / choose_fast_params: the SSIM gate either picks a
+    passing shear-warp density or falls back to the exact renderer —
+    raycast_fast speed can never silently cost correctness (round-3
+    verdict: noise scenes rendered at SSIM 0.58 with no fallback)."""
+
+    def test_gate_pass_uses_shearwarp(self, sphere_volume):
+        from differender_tpu.fastpath import render_fast_auto
+        cfg, tf = _setup(sphere_volume)
+        lf = jnp.asarray([1.3, 0.7, 2.1])
+        out, info = render_fast_auto(sphere_volume, tf, lf, cfg,
+                                     ssim_gate=-1.0)  # first rung passes
+        assert info["renderer"] == "shearwarp"
+        assert info["trace"][0]["ssim"] == info["ssim"]
+        ref = render_fast(jnp.asarray(sphere_volume), tf, lf, cfg,
+                          intermediate=info["intermediate"],
+                          planes_per_voxel=info["planes_per_voxel"])
+        np.testing.assert_array_equal(np.asarray(out.image),
+                                      np.asarray(ref.image))
+
+    def test_gate_fail_falls_back_to_exact(self, rng):
+        from differender_tpu.fastpath import render_fast_auto
+        # Unstructured content (the measured shear-warp failure mode).
+        vol = rng.random((16, 16, 16), dtype=np.float32)
+        cfg = RenderConfig(volume_shape=vol.shape, image_shape=(16, 16),
+                           tf_resolution=32, max_samples=64, block_size=16)
+        tf = jnp.asarray(get_tf("tf1", 32))
+        lf = jnp.asarray([1.3, 0.7, 2.1])
+        out, info = render_fast_auto(vol, tf, lf, cfg,
+                                     ssim_gate=2.0,  # unpassable
+                                     ladder=((None, 2.0),))
+        assert info["renderer"] == "exact"
+        assert len(info["trace"]) == 1
+        exact = render(jnp.asarray(vol), tf, lf, cfg,
+                       sampling_rate=cfg.sampling_rate)
+        np.testing.assert_array_equal(np.asarray(out.image),
+                                      np.asarray(exact.image))

@@ -139,6 +139,27 @@ def test_camera_grads_exist(sphere_volume):
     assert float(jnp.abs(g).max()) > 0.0
 
 
+def test_camera_grads_flag_refuses_hand_vjps(sphere_volume):
+    """camera_grads=True + a hand-written march VJP would silently return
+    zero sample-position cotangents — render must refuse loudly."""
+    tf = jnp.asarray(get_tf("tf5", 16))
+    vol = jnp.asarray(sphere_volume)
+    for vjp in ("sorted", "tiled"):
+        cfg = RenderConfig(volume_shape=sphere_volume.shape,
+                           image_shape=(16, 16), max_samples=32,
+                           block_size=8, march_vjp=vjp, camera_grads=True)
+        with pytest.raises(ValueError, match="camera_grads"):
+            render(vol, tf, jnp.array([1.0, 0.7, 2.2]), cfg,
+                   sampling_rate=0.5)
+    # The declared-intent combination works: ad + camera_grads=True.
+    cfg = RenderConfig(volume_shape=sphere_volume.shape, image_shape=(6, 6),
+                       max_samples=32, block_size=8, camera_grads=True)
+    g = jax.grad(lambda lf: jnp.sum(
+        render(vol, tf, lf, cfg, sampling_rate=0.5).image))(
+        jnp.array([1.0, 0.7, 2.2]))
+    assert float(jnp.abs(g).max()) > 0.0
+
+
 class TestTiledVJP:
     """march_vjp='tiled' (hand-written per-tile volume-grad scatter) ==
     march_vjp='ad' for image, volume grads, and TF grads.  Images match to

@@ -150,6 +150,7 @@ def test_volume_sharded_segment_window(sphere_volume):
                                atol=1e-4)
 
 
+@pytest.mark.slow
 def test_views_x_space_combined_grads_match(sphere_volume):
     """Combined 2x4 views x space mesh: one SPMD step's loss and gradients
     match the single-device computation (the `dryrun_multichip` topology,
@@ -246,6 +247,7 @@ def test_fast_sharded_matches_unsharded(sphere_volume, n_shards):
                                       np.asarray(want.hit))
 
 
+@pytest.mark.slow
 def test_fast_sharded_grads_match(sphere_volume):
     from differender_tpu.fastpath import render_fast, render_fast_sharded
 
@@ -332,6 +334,7 @@ class TestTrainStepViews:
         np.testing.assert_allclose(np.asarray(gt1), np.asarray(gt0),
                                    atol=1e-4 * st)
 
+    @pytest.mark.slow
     def test_shard_map_with_keys_local_batch(self, sphere_volume):
         """2 views per device + jitter keys: exercises the local scan."""
         from differender_tpu.losses import mse_loss
@@ -350,6 +353,7 @@ class TestTrainStepViews:
         np.testing.assert_allclose(np.asarray(gv1), np.asarray(gv2),
                                    atol=1e-4 * sv)
 
+    @pytest.mark.slow
     def test_accum_shearwarp_renderer(self, sphere_volume):
         """renderer='shearwarp' in accum mode == direct render_fast grads."""
         from differender_tpu.fastpath import render_fast
