@@ -14,7 +14,8 @@ from .geometry import RayBundle, make_rays, ray_directions, ray_aabb
 from .render import (RenderOutput, render, render_nondiff, render_jit,
                      render_nondiff_jit, render_nondiff_strips,
                      render_strips, render_depth_sorted,
-                     march_diff, march_nondiff, value_and_grad_blockwise)
+                     march_diff, march_nondiff, value_and_grad_blockwise,
+                     value_and_grad_render)
 from .raycaster import (Raycaster, volume_to_internal, volume_from_internal,
                         tf_to_internal, tf_from_internal)
 from .transfer import get_tf, get_tf_torch_layout, tex_from_pts
@@ -42,6 +43,7 @@ __all__ = [
     "render_nondiff_jit", "render_nondiff_strips", "render_strips",
     "render_depth_sorted", "march_diff",
     "march_nondiff", "value_and_grad_blockwise",
+    "value_and_grad_render",
     "Raycaster", "volume_to_internal", "volume_from_internal",
     "tf_to_internal", "tf_from_internal",
     "get_tf", "get_tf_torch_layout", "tex_from_pts",

@@ -280,6 +280,26 @@ class RenderConfig:
         """
         return min(self.max_samples, self.max_steps_for(sampling_rate))
 
+    def use_blockwise_grad(self) -> bool:
+        """True when the monolithic sorted backward is known to exceed the
+        remote TPU compile budget and the host-level blockwise split
+        backward (:func:`differender_tpu.render.value_and_grad_blockwise`)
+        should be used instead.
+
+        Measured boundary (experiments/r5_sorted512_results.jsonl): the
+        256^3 headline sorted config compiles monolithically; 512^3
+        stride-2 sorted crashes the compile helper at every strip/box/
+        window/block knob, while every program of the split backward
+        compiles.  The predicate keys on the stride-2 table (the
+        auto-resolution already picks it exactly for 512^3-class parity
+        volumes) plus a >= 2^26-voxel floor so small stride-2 test
+        configs keep the cheaper monolithic path.
+        """
+        import numpy as _np
+        return (self.march_vjp == "sorted"
+                and self.resolved_march_table() == "super64s2"
+                and int(_np.prod(self.volume_shape)) >= (1 << 26))
+
     def resolved_march_table(self) -> str:
         """Resolve the ``march_table`` knob (see its docstring).
 

@@ -1304,6 +1304,45 @@ def _blockwise_programs(config: RenderConfig, sr: float, ert: bool,
     return prep_vol, fwd_block, bwd_block, None
 
 
+def value_and_grad_render(
+    volume: Array,
+    tf: Array,
+    look_from: Array,
+    config: RenderConfig,
+    loss_fn,
+    sampling_rate: Optional[float] = None,
+    key: Optional[Array] = None,
+    ert: bool = True,
+    loss_args: tuple = (),
+):
+    """Loss + (d_volume, d_tf) with the gradient STRATEGY auto-selected.
+
+    Configs that fit one program get the monolithic
+    ``jax.value_and_grad(loss_fn(render(...)))``; 512^3-class sorted
+    configs (``config.use_blockwise_grad()``) get the host-level
+    blockwise split backward, which is the only form whose programs all
+    fit the remote TPU compile budget at that scale.  Both strategies
+    compute the same gradients (tests/test_grads.py TestBlockwiseVJP).
+
+    ``loss_fn`` maps ``(RenderOutput, *loss_args)`` to a scalar; see
+    :func:`value_and_grad_blockwise` for its stability contract (which
+    only binds on the blockwise path).
+    """
+    if config.use_blockwise_grad():
+        return value_and_grad_blockwise(volume, tf, look_from, config,
+                                        loss_fn, sampling_rate, key, ert,
+                                        loss_args)
+    sr = config.sampling_rate if sampling_rate is None else sampling_rate
+
+    def _loss(v, t):
+        out = render(v, t, jnp.asarray(look_from, jnp.float32), config,
+                     sr, key=key, ert=ert)
+        return loss_fn(out, *loss_args)
+
+    return jax.value_and_grad(_loss, argnums=(0, 1))(
+        jnp.asarray(volume, jnp.float32), jnp.asarray(tf, jnp.float32))
+
+
 @functools.partial(jax.jit, static_argnames=("config", "sampling_rate", "ert"))
 def render_jit(volume, tf, look_from, config: RenderConfig,
                sampling_rate=None, key=None, ert=True):

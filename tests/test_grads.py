@@ -421,6 +421,42 @@ class TestBlockwiseVJP:
         np.testing.assert_allclose(np.asarray(gt_b), np.asarray(gt_r),
                                    atol=1e-4 * max(st, 1e-9))
 
+    def test_auto_selection_policy(self, sphere_volume):
+        """value_and_grad_render routes 512^3-class sorted configs to the
+        blockwise split backward and everything else to the monolith; the
+        monolithic route must agree with plain jax.value_and_grad."""
+        from differender_tpu import value_and_grad_render
+        # Decision logic (pure, no rendering): the measured boundary.
+        big = RenderConfig(volume_shape=(512, 512, 512),
+                           image_shape=(512, 512), max_samples=512,
+                           block_size=32, march_vjp="sorted")
+        assert big.resolved_march_table() == "super64s2"
+        assert big.use_blockwise_grad()
+        assert not big.replace(march_vjp="ad").use_blockwise_grad()
+        small = RenderConfig(volume_shape=sphere_volume.shape,
+                             image_shape=(8, 8), max_samples=16,
+                             block_size=8, march_vjp="sorted",
+                             march_table="super64s2")
+        assert not small.use_blockwise_grad()  # below the voxel floor
+        # Numerics through the wrapper (monolithic route).
+        vol = jnp.asarray(sphere_volume)
+        tf = jnp.asarray(get_tf("tf1", 16))
+        lf = jnp.asarray(np.array([1.2, 0.8, 2.0], np.float32))
+        cfg = RenderConfig(volume_shape=vol.shape, image_shape=(8, 8),
+                           tf_resolution=16, max_samples=16, block_size=8)
+
+        def loss_fn(out):
+            return jnp.mean(out.image ** 2)
+
+        l_a, (gv_a, gt_a) = value_and_grad_render(vol, tf, lf, cfg, loss_fn,
+                                                  sampling_rate=0.8)
+        l_r, (gv_r, gt_r) = jax.value_and_grad(
+            lambda v, t: loss_fn(render(v, t, lf, cfg, sampling_rate=0.8)),
+            argnums=(0, 1))(vol, tf)
+        np.testing.assert_allclose(float(l_a), float(l_r), rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(gv_a), np.asarray(gv_r))
+        np.testing.assert_allclose(np.asarray(gt_a), np.asarray(gt_r))
+
     def test_loss_args_traced(self, sphere_volume):
         """Per-step targets passed via loss_args (traced jit arguments)
         must match the same loss written as a closure capture — and must
