@@ -172,13 +172,14 @@ def main():
     lf0 = np.array([1.2, 0.8, 2.0], np.float32)
     errors = {}
 
-    def make(cfg, mode, sr=SR):
+    def make(cfg, mode, sr=SR, render_fn=None):
+        rfn = render if render_fn is None else render_fn
         if mode == "grad":
             @jax.jit
             def f(c, v, t):
                 lf = jnp.asarray(lf0) + c * 1e-6
                 g = jax.grad(lambda v_, t_: jnp.mean(
-                    render(v_, t_, lf, cfg, sampling_rate=sr).image ** 2),
+                    rfn(v_, t_, lf, cfg, sampling_rate=sr).image ** 2),
                     argnums=(0, 1))(v, t)
                 return c + 1 + g[0].sum() * 0
         else:
@@ -215,7 +216,24 @@ def main():
     step_f = make(cfg_grad, "grad")
     step_samples = _chain_samples(step_f, n=3, args=(vol_noise, tf))
     step_s = sum(step_samples) / len(step_samples)
-    step_phantom_s = _chain_bench(step_f, n=1, args=(vol_phantom, tf))
+    # Phantom scene rides the SCENE POLICY (round-4 verdict item 2): on
+    # structured content choose_diff_renderer picks the depth-sorted
+    # chunked march (exact — permutation + the same prefix-closed skip),
+    # so each depth group's ERT block skip fires at its own depth instead
+    # of waiting for the deepest ray in the image.
+    from differender_tpu import choose_diff_renderer
+    phantom_policy = "plain"
+    try:
+        rfn, phantom_policy = choose_diff_renderer(
+            vol_phantom, tf, jnp.asarray(lf0), cfg_grad, sampling_rate=SR)
+        step_ph_f = (step_f if phantom_policy == "plain"
+                     else make(cfg_grad, "grad", render_fn=rfn))
+        step_phantom_s = _chain_bench(step_ph_f, n=1,
+                                      args=(vol_phantom, tf))
+    except Exception as e:
+        errors["phantom_policy"] = f"{type(e).__name__}: {e}"[:300]
+        phantom_policy = "plain"
+        step_phantom_s = _chain_bench(step_f, n=1, args=(vol_phantom, tf))
     fwd_s = _chain_bench(make(cfg_exact, "fwd"), n=2, args=(vol_noise, tf))
     try:
         analytic_step_s = _chain_bench(make(cfg_analytic, "grad"), n=1,
@@ -382,6 +400,7 @@ def main():
             "grad_config": "march_vjp=sorted block=64 (fwd: ad-equivalent "
                            "forward graph at block 16)",
             "fwd_bwd_s_phantom_scene": round(step_phantom_s, 4),
+            "phantom_scene_policy": phantom_policy,
             "fwd_nondiff_mrays_per_s": round(IMG * IMG / fwd_s / 1e6, 3),
             "fwd_nondiff_s": round(fwd_s, 4),
             "analytic_mode_fwd_bwd_s": (round(analytic_step_s, 4)

@@ -14,6 +14,7 @@ from .geometry import RayBundle, make_rays, ray_directions, ray_aabb
 from .render import (RenderOutput, render, render_nondiff, render_jit,
                      render_nondiff_jit, render_nondiff_strips,
                      render_strips, render_depth_sorted,
+                     choose_diff_renderer,
                      march_diff, march_nondiff, value_and_grad_blockwise,
                      value_and_grad_render)
 from .raycaster import (Raycaster, volume_to_internal, volume_from_internal,
@@ -41,7 +42,7 @@ __all__ = [
     "RenderConfig", "RayBundle", "make_rays", "ray_directions", "ray_aabb",
     "RenderOutput", "render", "render_nondiff", "render_jit",
     "render_nondiff_jit", "render_nondiff_strips", "render_strips",
-    "render_depth_sorted", "march_diff",
+    "render_depth_sorted", "choose_diff_renderer", "march_diff",
     "march_nondiff", "value_and_grad_blockwise",
     "value_and_grad_render",
     "Raycaster", "volume_to_internal", "volume_from_internal",

@@ -955,37 +955,110 @@ def render_depth_sorted(
         raise ValueError(f"chunks={chunks} must divide H*W={N}")
     M = N // chunks
     rays = make_rays(look_from, config, sr, jitter_key=key)
-    depth = _predict_march_depth(volume, tf, rays, config)
+    # Sort key only — never differentiated (occupancy is int-thresholded
+    # anyway; the stop keeps AD from even tracing the predictor).
+    depth = jax.lax.stop_gradient(
+        _predict_march_depth(volume, tf, rays, config))
     order = jnp.argsort(depth).astype(jnp.int32)                  # (N,)
 
-    flat = RayBundle(
-        origin=rays.origin,
-        dirs=jnp.take(rays.dirs.reshape(N, 3), order, axis=0),
-        entry=jnp.take(rays.entry.reshape(N), order),
-        exit=jnp.take(rays.exit.reshape(N), order),
-        n_samples=jnp.take(rays.n_samples.reshape(N), order),
-    )
+    # ONE packed (N, 8) permute gather and ONE packed un-permute scatter:
+    # every gather/scatter HLO costs ~55 ms flat on this stack regardless
+    # of size, so the field-by-field form (4 takes in + an inverse-
+    # permutation scatter + 2 takes out = 7 ops, ~0.4 s) was most of the
+    # measured 0.6 s depth-sort overhead on the uniform-noise scene
+    # (experiments/r8_headline_results.jsonl).  Minor dim 8 also avoids
+    # the tiny-minor-dim tile padding (CLAUDE.md rule 3).
+    pack = jnp.concatenate([
+        rays.dirs.reshape(N, 3),
+        rays.entry.reshape(N, 1),
+        rays.exit.reshape(N, 1),
+        rays.n_samples.reshape(N, 1).astype(jnp.float32),
+        jnp.zeros((N, 2), jnp.float32),
+    ], axis=1)
+    pk = jnp.take(pack, order, axis=0)                            # (N, 8)
     chunk_cfg = config.replace(image_shape=(M, 1))
-    accs, cnts = [], []
+    outs = []
     for c in range(chunks):
         sl = slice(c * M, (c + 1) * M)
-        rb = RayBundle(origin=flat.origin,
-                       dirs=flat.dirs[sl].reshape(M, 1, 3),
-                       entry=flat.entry[sl].reshape(M, 1),
-                       exit=flat.exit[sl].reshape(M, 1),
-                       n_samples=flat.n_samples[sl].reshape(M, 1))
+        rb = RayBundle(origin=rays.origin,
+                       dirs=pk[sl, 0:3].reshape(M, 1, 3),
+                       entry=pk[sl, 3].reshape(M, 1),
+                       exit=pk[sl, 4].reshape(M, 1),
+                       n_samples=pk[sl, 5].astype(jnp.int32).reshape(M, 1))
         acc, cnt = _march_diff_strip(volume, tf, rb, chunk_cfg, float(sr),
                                      True)
-        accs.append(acc.reshape(M, 4))
-        cnts.append(cnt.reshape(M))
-    acc = jnp.concatenate(accs, axis=0)
-    cnt = jnp.concatenate(cnts, axis=0)
-    inv = jnp.zeros((N,), jnp.int32).at[order].set(
-        jnp.arange(N, dtype=jnp.int32))
-    image = jnp.take(acc, inv, axis=0).reshape(H, W, 4)
-    valid = jnp.take(cnt, inv).reshape(H, W)
+        outs.append(jnp.concatenate(
+            [acc.reshape(M, 4), cnt.reshape(M, 1).astype(jnp.float32),
+             jnp.zeros((M, 3), jnp.float32)], axis=1))
+    out_pack = jnp.concatenate(outs, axis=0)                      # (N, 8)
+    unsorted = jnp.zeros((N, 8), jnp.float32).at[order].set(out_pack)
+    image = unsorted[:, 0:4].reshape(H, W, 4)
+    valid = unsorted[:, 4].astype(jnp.int32).reshape(H, W)
     return RenderOutput(image=image, valid_steps=valid,
                         n_samples=rays.n_samples)
+
+
+@functools.partial(jax.jit, static_argnames=("config", "sampling_rate"))
+def _depth_spread(volume, tf, look_from, config: RenderConfig,
+                  sampling_rate: float):
+    """Fraction of rays whose predicted useful march depth is under half
+    the deep-tail (p99) depth — the scene-structure statistic behind
+    :func:`choose_diff_renderer`.  One small program: occupancy build +
+    one coarse gather + reductions."""
+    rays = make_rays(look_from, config, sampling_rate)
+    d = _predict_march_depth(volume, tf, rays, config)
+    # The statistic is RELATIVE to each ray's own march length: rho =
+    # predicted useful depth / n_samples.  On a fully-occupied scene rho
+    # == 1 for every hitting ray even though chord lengths (and hence
+    # absolute n_samples) vary across the image — and measured at the
+    # headline config, depth sorting LOSES on such scenes (noise 1.52 ->
+    # 2.13 s) while winning on structured ones (phantom 2.47 -> 2.07 s,
+    # experiments/r8_headline_results.jsonl).  Rays that MISS the AABB
+    # (n_samples == 0, image corners) never extend the march and are
+    # excluded.
+    nf = rays.n_samples.reshape(-1).astype(jnp.float32)
+    hit = nf > 0.0
+    rho = d / jnp.maximum(nf, 1.0)
+    n_hit = jnp.maximum(jnp.sum(hit.astype(jnp.float32)), 1.0)
+    return jnp.sum(((rho < 0.5) & hit).astype(jnp.float32)) / n_hit
+
+
+def choose_diff_renderer(volume, tf, look_from, config: RenderConfig,
+                         sampling_rate: Optional[float] = None,
+                         chunks: int = 4, threshold: float = 0.25):
+    """Scene-adaptive choice of the differentiable renderer (host-level).
+
+    The diff march's ERT block skip is global, so on STRUCTURED scenes
+    (real CT content: bounded objects, empty background) one deep ray
+    keeps every lane marching — the CT-phantom headline config runs 1.6x
+    slower than uniform noise (BENCH_r03).  :func:`render_depth_sorted`
+    fixes exactly that (phantom 2.47 -> 2.07 s measured) but costs a
+    constant permutation overhead that LOSES on unstructured scenes
+    (noise 1.52 -> 2.13 s pre-packing; experiments/
+    r8_headline_results.jsonl).  The reference never faces the choice —
+    its per-thread ERT is scene-adaptive by construction
+    (/root/reference/differender/volume_raycaster.py:267-269); this
+    policy is the TPU equivalent, decided once per scene.
+
+    Returns ``(render_fn, name)`` where ``render_fn`` has the
+    :func:`render` signature and ``name`` is ``"depth_sorted"`` or
+    ``"plain"``.  Call it OUTSIDE jit (it syncs one scalar to the host);
+    in a training loop, re-choose when the scene changes materially, not
+    every step.
+    """
+    sr = config.sampling_rate if sampling_rate is None else sampling_rate
+    frac = float(_depth_spread(jnp.asarray(volume, jnp.float32),
+                               jnp.asarray(tf, jnp.float32),
+                               jnp.asarray(look_from, jnp.float32),
+                               config, float(sr)))
+    if frac > threshold:
+        def fn(volume, tf, look_from, config, sampling_rate=None, key=None,
+               _chunks=chunks):
+            return render_depth_sorted(volume, tf, look_from, config,
+                                       sampling_rate=sampling_rate,
+                                       key=key, chunks=_chunks)
+        return fn, "depth_sorted"
+    return render, "plain"
 
 
 def value_and_grad_blockwise(
@@ -1097,23 +1170,44 @@ def value_and_grad_blockwise(
         lambda a: loss_head(a, cnt, ray_n_samples, loss_args), accs)
     (d_accs,) = head_vjp(jnp.float32(1.0))
 
-    d_volume = jnp.zeros_like(volume)
     d_tf = jnp.zeros_like(tf)
-    for b in range(n_blocks - 1, -1, -1):
-        accs_b, cnt_b = carries[b]
-        s0 = jnp.int32(b * block)
-        if place_block is not None:
-            # Split backward (sorted mode): march-recompute cotangents and
-            # sorted-window placement in separate programs; d_volume is a
-            # DONATED accumulator so the placement updates it in place.
+    if place_block is not None:
+        # Split backward (sorted mode): march-recompute cotangents and
+        # sorted-window placement in separate programs.  The volume-grad
+        # accumulator stays in the placement's FLAT (stride-2:
+        # half-lattice) form across blocks and is DONATED so each block
+        # updates it in place; one finalize program interleaves it to the
+        # voxel lattice at the end.
+        from .sampling import sorted_acc_shape
+        spec = _block_sample_spec(config, config.resolved_march_table(),
+                                  _safe_supercell_group(config, float(sr),
+                                                        block), True)
+        d_acc = jnp.zeros(sorted_acc_shape(spec), jnp.float32)
+        for b in range(n_blocks - 1, -1, -1):
+            accs_b, cnt_b = carries[b]
+            s0 = jnp.int32(b * block)
             dt, d_accs, cots = bwd_block(tf, vol_tbl, soa, origin,
                                          accs_b, cnt_b, s0, d_accs)
-            d_volume = place_block(d_volume, soa, origin, s0, cots)
-        else:
+            d_acc = place_block(d_acc, soa, origin, s0, cots)
+            d_tf = d_tf + dt
+            # Serialize: JAX's async dispatch otherwise queues EVERY
+            # block's backward at once, keeping each in-flight block's
+            # transients (the (4, B, N) cotangent stack + the (M, 64)
+            # fold rows — ~1.2 GB/block at 512^3 b32) alive together;
+            # that, not any single program, exhausted HBM in the first
+            # 512^3 runs (r5_sorted512_results.jsonl RESOURCE_EXHAUSTED
+            # rows).  One sync per block costs dispatch latency only.
+            jax.block_until_ready(d_acc)
+        d_volume = place_block.finalize(d_acc)
+    else:
+        d_volume = jnp.zeros_like(volume)
+        for b in range(n_blocks - 1, -1, -1):
+            accs_b, cnt_b = carries[b]
+            s0 = jnp.int32(b * block)
             dv, dt, d_accs = bwd_block(volume, tf, vol_tbl, soa, origin,
                                        accs_b, cnt_b, s0, d_accs)
             d_volume = d_volume + dv
-        d_tf = d_tf + dt
+            d_tf = d_tf + dt
     return loss, (d_volume, d_tf)
 
 
@@ -1271,24 +1365,37 @@ def _blockwise_programs(config: RenderConfig, sr: float, ert: bool,
             return sorted_fold_cot(spec, px, py, pz, cots)
 
         @functools.partial(jax.jit, donate_argnums=(0,))
-        def place_rows(d_vol, base, d_rows):
-            from .sampling import _sorted_volume_grad
+        def place_rows(d_acc, base, d_rows):
+            from .sampling import sorted_accumulate
             spec = _block_sample_spec(config, kind, grp, True)
-            return d_vol + _sorted_volume_grad(spec, base, d_rows)
+            return sorted_accumulate(spec, d_acc, base, d_rows)
 
-        def place_block(d_vol, soa_, origin_, s0, cots):
+        @jax.jit
+        def place_finalize(d_acc):
+            from .sampling import sorted_finalize
+            spec = _block_sample_spec(config, kind, grp, True)
+            return sorted_finalize(spec, d_acc)
+
+        def place_block(d_acc, soa_, origin_, s0, cots):
             # TWO programs on purpose: the fold's (Mg, 64) hat-weight
-            # intermediates and the placement's (X, Y, Z) accumulator each
+            # intermediates and the placement's flat accumulator each
             # fill most of the compile helper's buffer budget alone
             # (r6_bisect512: fused fold+place fails at 512^3 where
-            # _sorted_volume_grad compiled at 2x the row count).
+            # _sorted_volume_grad compiled at 2x the row count).  The
+            # accumulator stays in FLAT (stride-2: half-lattice) form
+            # across blocks — place_finalize interleaves/reshapes it to
+            # (X, Y, Z) once per step in its own tiny program, so no
+            # per-block program holds the full voxel lattice alongside
+            # the placement intermediates (the last ~1 GB of live-buffer
+            # pressure the r5 split runs still crashed on).
             base, d_rows = fold_block(soa_, origin_, s0, cots)
-            return place_rows(d_vol, base, d_rows)
+            return place_rows(d_acc, base, d_rows)
 
-        # Expose the two jitted halves for AOT bisection/attribution
+        # Expose the jitted pieces for AOT bisection/attribution
         # (experiments/exp_r6_blockwise512_bisect.py).
         place_block.fold_block = fold_block
         place_block.place_rows = place_rows
+        place_block.finalize = place_finalize
         return prep_vol, fwd_block, bwd_cot, place_block
 
     @jax.jit

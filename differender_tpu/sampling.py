@@ -1046,17 +1046,40 @@ def _fold_box_to_segment2(box: Array, E: int, Z: int, YZ: int):
     return half(((0, 0), (2, 1))), half(((1, 0), (3, 1)))
 
 
-def _sorted_volume_grad(spec: SampleSpec, base: Array, d_rows: Array):
-    """Place (M, 64) supercell-row cotangents into d_volume, sorted-window
-    style (see the block comment above).
+def sorted_acc_shape(spec: SampleSpec):
+    """Shape of the flat sorted-placement accumulator for ``spec``:
+    ``(H, acc_len)`` with H=2 half-lattices (even/odd voxel parity) for
+    stride-2 specs, H=1 otherwise.  Callers that accumulate several
+    blocks' cotangents before a single :func:`sorted_finalize` (the 512^3
+    host-level blockwise backward) allocate this once and thread it
+    through :func:`sorted_accumulate` as a donated argument."""
+    X, Y, Z = spec.volume_shape
+    YZ = Y * Z
+    C = X * YZ
+    Ck = C // 2 if spec.stride2 else C
+    E = min(spec.box_rows, Ck)
+    if spec.stride2:
+        Es = E + 3 * (YZ + Z) // 2 + 1
+        return 2, Ck + Es - E
+    return 1, C + 3 * YZ + 3 * Z + 3
+
+
+def sorted_accumulate(spec: SampleSpec, d_flat: Array, base: Array,
+                      d_rows: Array) -> Array:
+    """Add (M, 64) supercell-row cotangents into the flat accumulator
+    ``d_flat`` (shape :func:`sorted_acc_shape`), sorted-window style (see
+    the block comment above).
 
     Args:
+        d_flat: (H, acc_len) f32 running accumulator (donate for in-place
+            updates across blocks).
         base: (M,) int32 row keys — flat supercell base indices
             ``(bx*Y + by)*Z + bz`` for the stride-1 table, or even-base
             indices ``kappa = (bx/2)*YZ + (by/2)*Z + bz/2`` (so that
             voxel = 2*kappa + lane offset) when ``spec.stride2``.
         d_rows: (M, 64) f32 cotangents in the 4x4x4 row basis.
-    Returns d_volume (X, Y, Z) f32.
+    Returns the updated accumulator; :func:`sorted_finalize` converts it
+    to the (X, Y, Z) voxel lattice.
     """
     X, Y, Z = spec.volume_shape
     YZ = Y * Z
@@ -1067,21 +1090,17 @@ def _sorted_volume_grad(spec: SampleSpec, base: Array, d_rows: Array):
     WR = min(spec.window_rows, M)              # rows per pass slice
     NW = -(-M // WR)                           # full slices
     S = -(-Ck // E)                            # anchor-advance bound
-    apron = 3 * YZ + 3 * Z + 3
+    H, _acc_len = sorted_acc_shape(spec)
     if spec.stride2:
         # Two half-lattice accumulator rows (even/odd voxel parity; see
-        # _fold_box_to_segment2) — interleaved ONCE at the end.
-        H = 2
+        # _fold_box_to_segment2) — interleaved ONCE in sorted_finalize.
         Es = E + 3 * (YZ + Z) // 2 + 1         # half segment length
-        acc_len = Ck + Es - E                  # covers o <= Ck - E
 
         def fold(box):
             se, so = _fold_box_to_segment2(box, E, Z, YZ)
             return jnp.stack([se, so])
     else:
-        H = 1
-        Es = E + apron                         # folded segment length
-        acc_len = C + apron
+        Es = E + 3 * YZ + 3 * Z + 3            # folded segment length
 
         def fold(box):
             return _fold_box_to_segment(box, E, Z, YZ)[None]
@@ -1156,21 +1175,37 @@ def _sorted_volume_grad(spec: SampleSpec, base: Array, d_rows: Array):
         d_flat = jax.lax.dynamic_update_slice(d_flat, cur + seg, (0, o))
         return d_flat, j
 
-    d_flat, _j = jax.lax.fori_loop(
-        0, T, pass_body,
-        (jnp.zeros((H, acc_len), jnp.float32), jnp.int32(0)))
+    d_flat, _j = jax.lax.fori_loop(0, T, pass_body, (d_flat, jnp.int32(0)))
     # The apron rows collect only exactly-zero lanes (clamped-cell
     # construction gives zero weight to voxels >= size), same argument as
     # the tiled path's padded accumulator.
+    return d_flat
+
+
+def sorted_finalize(spec: SampleSpec, d_flat: Array) -> Array:
+    """Convert the flat sorted-placement accumulator to d_volume
+    (X, Y, Z)."""
+    X, Y, Z = spec.volume_shape
+    C = X * Y * Z
     if spec.stride2:
         # Interleave the even/odd half-lattices: flat voxel 2i <- even[i],
-        # 2i+1 <- odd[i] (flat-index parity == z parity; Z is even).  Via
-        # interior-dilated pads, NOT a (Ck, 2) stack: a tensor with minor
-        # dim 2 tile-pads up to 64x on TPU (CLAUDE.md rule 3) — at 512^3
-        # that padded intermediate alone (~34 GB) crashed the remote
-        # compile helper whenever the full d_volume was a program OUTPUT
-        # (r7_place_bisect: the chained-scalar form compiled, the
-        # full-array form failed; the interleave was the only graph delta).
+        # 2i+1 <- odd[i] (flat-index parity == z parity; Z is even).
+        # NEVER via a (Ck, 2) stack: a tensor with minor dim 2 tile-pads
+        # up to 64x on TPU (CLAUDE.md rule 3) — at 512^3 that padded
+        # intermediate alone (~34 GB) crashed the remote compile helper.
+        Ck = C // 2
+        if C >= (1 << 27):
+            # 512^3-class: even the interior-dilated-pad form hangs the
+            # remote compiler when the full lattice is a program OUTPUT
+            # (r5_blockwise512: place_finalize/pad2d and the 1-D pad both
+            # stall >7 min; the strided-scatter form compiles in 1.9 s).
+            out = jnp.zeros((C,), jnp.float32)
+            out = out.at[0::2].set(d_flat[0, :Ck])
+            out = out.at[1::2].set(d_flat[1, :Ck])
+            return out.reshape(X, Y, Z)
+        # Small volumes: two interior-dilated pads + add — pure bandwidth,
+        # no index generation; measurably cheaper than the two scatter
+        # HLOs (~55 ms flat each on this stack) at headline 256^3 scale.
         Zh = Z // 2
         e2 = d_flat[0, :Ck].reshape(X * Y, Zh)
         o2 = d_flat[1, :Ck].reshape(X * Y, Zh)
@@ -1179,6 +1214,19 @@ def _sorted_volume_grad(spec: SampleSpec, base: Array, d_rows: Array):
                + jax.lax.pad(o2, zero, ((0, 0, 0), (1, 0, 1))))
         return out.reshape(X, Y, Z)
     return d_flat[0, :C].reshape(X, Y, Z)
+
+
+def _sorted_volume_grad(spec: SampleSpec, base: Array, d_rows: Array):
+    """Place (M, 64) supercell-row cotangents into d_volume in ONE
+    function: :func:`sorted_accumulate` into a fresh flat accumulator,
+    then :func:`sorted_finalize`.  Single-program callers (the monolithic
+    sorted VJPs) use this; the 512^3 host-level blockwise backward calls
+    the two halves in separate jit programs and keeps the accumulator in
+    half-lattice form ACROSS blocks, so no per-block program ever holds
+    the full (X, Y, Z) lattice alongside the placement intermediates."""
+    d_flat = jnp.zeros(sorted_acc_shape(spec), jnp.float32)
+    return sorted_finalize(spec, sorted_accumulate(spec, d_flat, base,
+                                                   d_rows))
 
 
 def _super_bwd_rows(volume_shape, delta: float, parity: bool, group: int,

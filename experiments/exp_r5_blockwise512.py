@@ -27,6 +27,12 @@ sys.path.insert(0, BASE)
 OUT = os.path.join(BASE, "experiments", "r5_sorted512_results.jsonl")
 
 import jax
+
+# Attribution: on a remote-compile crash, the last "Compiling ..." line
+# in the process log names the program that hit the helper's limit
+# (the overall-run rows in r5_sorted512_results.jsonl don't).
+jax.config.update("jax_log_compiles", True)
+
 import jax.numpy as jnp
 import numpy as np
 

@@ -253,3 +253,33 @@ def test_render_depth_sorted_exact(shell_volume):
     sc = max(float(jnp.abs(ga).max()), 1e-9)
     np.testing.assert_allclose(np.asarray(gb), np.asarray(ga),
                                atol=1e-5 * sc)
+
+
+def test_choose_diff_renderer_policy(shell_volume):
+    """The scene policy picks depth-sorted for structured content (empty
+    background => spread of predicted march depths) and the plain
+    renderer for unstructured content, and the returned callable renders
+    exactly."""
+    from differender_tpu import choose_diff_renderer
+    tf = jnp.asarray(get_tf("tf1", 32))
+    lf = jnp.asarray(np.array([1.2, 0.8, 2.0], np.float32))
+    cfg = RenderConfig(volume_shape=shell_volume.shape,
+                       image_shape=(16, 16), max_samples=64, block_size=8)
+    vol = jnp.asarray(shell_volume)
+    fn, name = choose_diff_renderer(vol, tf, lf, cfg, sampling_rate=0.8)
+    assert name == "depth_sorted"
+    key = jax.random.PRNGKey(2)
+    a = render(vol, tf, lf, cfg, sampling_rate=0.8, key=key)
+    b = fn(vol, tf, lf, cfg, sampling_rate=0.8, key=key)
+    np.testing.assert_allclose(np.asarray(b.image), np.asarray(a.image),
+                               atol=1e-6)
+
+    # Unstructured = occupied everywhere.  tf1 is opaque only on narrow
+    # intensity bands (alpha == 0 above ~0.47), so keep the noise inside
+    # its widest high-alpha band — noise spanning transparent intensities
+    # legitimately HAS empty occupancy cells and WANTS depth sorting.
+    noise = 0.36 + jax.random.uniform(jax.random.PRNGKey(3),
+                                      shell_volume.shape, jnp.float32) * 0.08
+    fn2, name2 = choose_diff_renderer(noise, tf, lf, cfg,
+                                      sampling_rate=0.8)
+    assert name2 == "plain" and fn2 is render
