@@ -1182,6 +1182,30 @@ def sorted_accumulate(spec: SampleSpec, d_flat: Array, base: Array,
     return d_flat
 
 
+def _interleave_mxu(even: Array, odd: Array, X: int, Y: int, Z: int):
+    """Interleave flat even/odd half-lattices to (X, Y, Z) on the MXU.
+
+    ``out[xy, 2k] = even[xy, k]``, ``out[xy, 2k+1] = odd[xy, k]`` via two
+    0/1 permutation matmuls ``even2 @ Pe + odd2 @ Po`` with ``Pe[k, 2k] =
+    Po[k, 2k+1] = 1``.  Exactness: every output element is ``1.0 * value``
+    plus terms that are exactly ``0.0 * other``, and adding exact zeros is
+    exact in f32, so with ``Precision.HIGHEST`` (CLAUDE.md rule 7 — the
+    default MXU bf16 rounding would corrupt values) the result is bitwise
+    equal to the scatter/pad forms (tested against the pad form in
+    tests/test_sampling.py).  The permutation matrices are numpy
+    constants (rule 2), (Z/2, Z) f32 = 0.5 MB at Z=512."""
+    Zh = Z // 2
+    pe = np.zeros((Zh, Z), np.float32)
+    po = np.zeros((Zh, Z), np.float32)
+    pe[np.arange(Zh), 2 * np.arange(Zh)] = 1.0
+    po[np.arange(Zh), 2 * np.arange(Zh) + 1] = 1.0
+    e2 = even.reshape(X * Y, Zh)
+    o2 = odd.reshape(X * Y, Zh)
+    hi = jax.lax.Precision.HIGHEST
+    out = (jnp.dot(e2, pe, precision=hi) + jnp.dot(o2, po, precision=hi))
+    return out.reshape(X, Y, Z)
+
+
 def sorted_finalize(spec: SampleSpec, d_flat: Array) -> Array:
     """Convert the flat sorted-placement accumulator to d_volume
     (X, Y, Z)."""
@@ -1198,11 +1222,15 @@ def sorted_finalize(spec: SampleSpec, d_flat: Array) -> Array:
             # 512^3-class: even the interior-dilated-pad form hangs the
             # remote compiler when the full lattice is a program OUTPUT
             # (r5_blockwise512: place_finalize/pad2d and the 1-D pad both
-            # stall >7 min; the strided-scatter form compiles in 1.9 s).
-            out = jnp.zeros((C,), jnp.float32)
-            out = out.at[0::2].set(d_flat[0, :Ck])
-            out = out.at[1::2].set(d_flat[1, :Ck])
-            return out.reshape(X, Y, Z)
+            # stall >7 min).  The strided-scatter form compiles (1.9 s)
+            # but executes at scatter pricing — 2.36 s measured
+            # (r10_bw512_mem) — so the interleave rides the MXU instead:
+            # out[xy, 2k+p] = half_p[xy, k] as two 0/1 permutation
+            # matmuls.  Each output element is 1.0*value plus exact
+            # zeros, so f32 HIGHEST is bitwise-exact; ~69 G MACs is
+            # milliseconds on the MXU.
+            return _interleave_mxu(d_flat[0, :Ck], d_flat[1, :Ck],
+                                   X, Y, Z)
         # Small volumes: two interior-dilated pads + add — pure bandwidth,
         # no index generation; measurably cheaper than the two scatter
         # HLOs (~55 ms flat each on this stack) at headline 256^3 scale.

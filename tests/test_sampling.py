@@ -282,3 +282,26 @@ class TestSortedVolumeGrad:
         want = self._oracle(shape, np.stack([bx, by, bz], -1), d_rows,
                             stride)
         np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_interleave_mxu_bitwise_matches_pad():
+    """The MXU permutation-matmul interleave (the 512^3-class
+    sorted_finalize branch) must be BITWISE equal to the interior-dilated
+    pad form: each output element is 1.0*value plus exact zeros, so
+    HIGHEST-precision dots introduce no rounding."""
+    import jax
+    from differender_tpu.sampling import _interleave_mxu
+    X, Y, Z = 6, 8, 10
+    Ck = X * Y * Z // 2
+    rng = np.random.default_rng(11)
+    even = jnp.asarray(rng.standard_normal(Ck).astype(np.float32))
+    odd = jnp.asarray(rng.standard_normal(Ck).astype(np.float32))
+    got = np.asarray(_interleave_mxu(even, odd, X, Y, Z))
+    Zh = Z // 2
+    e2 = even.reshape(X * Y, Zh)
+    o2 = odd.reshape(X * Y, Zh)
+    zero = jnp.float32(0.0)
+    want = np.asarray((jax.lax.pad(e2, zero, ((0, 0, 0), (0, 1, 1)))
+                       + jax.lax.pad(o2, zero, ((0, 0, 0), (1, 0, 1)))
+                       ).reshape(X, Y, Z))
+    assert (got == want).all()
