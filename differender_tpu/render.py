@@ -1165,6 +1165,17 @@ def value_and_grad_blockwise(
         carries.append((accs, cnt))
         accs, cnt = fwd_block(volume, tf, vol_tbl, soa, origin, accs, cnt,
                               jnp.int32(b * block))
+        # Serialize the forward too: the runtime allocates each enqueued
+        # execution's output/temp buffers at ENQUEUE time, so a warm step
+        # (no compiles interleaved to drain the queue) that dispatches all
+        # n_blocks forward blocks at once holds every block's transients
+        # simultaneously.  That is why the cold 512^3 step completed while
+        # the immediately-following warm step hit RESOURCE_EXHAUSTED even
+        # after a 30 s settle (experiments/exp_r12_bw512_steps.py rows in
+        # r5_sorted512_results.jsonl).  One sync per block bounds live
+        # memory at a single block's working set for dispatch-latency-only
+        # cost, same as the backward loop below.
+        jax.block_until_ready(accs)
 
     loss, head_vjp = jax.vjp(
         lambda a: loss_head(a, cnt, ray_n_samples, loss_args), accs)
@@ -1208,6 +1219,10 @@ def value_and_grad_blockwise(
                                        accs_b, cnt_b, s0, d_accs)
             d_volume = d_volume + dv
             d_tf = d_tf + dt
+            # Same warm-step enqueue-pressure bound as the forward loop:
+            # each AD block's VJP transients (and the full-lattice dv)
+            # must not pile up across enqueued blocks.
+            jax.block_until_ready(d_volume)
     return loss, (d_volume, d_tf)
 
 

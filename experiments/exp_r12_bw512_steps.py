@@ -78,7 +78,10 @@ def step(c):
 
 
 c = jnp.float32(0.0)
-settle = [0, 30, 0, 5]           # seconds to sleep BEFORE each step
+# r13: after the per-block forward/backward block_until_ready fix
+# (render.py value_and_grad_blockwise — warm-step enqueue pressure),
+# steps 1+ are the WARM step-time measurement; no settle needed.
+settle = [0, 0, 0, 0]            # seconds to sleep BEFORE each step
 for i, pause in enumerate(settle):
     total, big = live_mb()
     log(exp="r12_bw512_steps", run=f"pre_step{i}", live_total_mb=total,
