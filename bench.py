@@ -334,6 +334,27 @@ def main():
         except Exception as e:
             errors["fidelity"] = f"{type(e).__name__}: {e}"[:300]
 
+    # Shear-warp FIDELITY POLICY (round-4 verdict item 5): the shipped
+    # auto-densify ladder (`fastpath.choose_fast_params`) walks
+    # (intermediate, planes_per_voxel) rungs until the scene passes the
+    # SSIM >= 0.9 gate, else falls back to the exact renderer — so the
+    # artifact records, per scene, either a passing density or an
+    # explicit exact-fallback instead of a silently-failing flag.
+    sw_policy = {}
+    try:
+        from differender_tpu.fastpath import choose_fast_params
+        for scene, v in (("noise", vol_noise), ("phantom", vol_phantom)):
+            info = choose_fast_params(v, tf, jnp.asarray(lf0), cfg_exact)
+            sw_policy[f"shearwarp_policy_{scene}"] = {
+                "renderer": info["renderer"],
+                "intermediate": info["intermediate"],
+                "planes_per_voxel": info["planes_per_voxel"],
+                "ssim": info["ssim"],
+                "rungs_tried": len(info["trace"]),
+            }
+    except Exception as e:
+        errors["shearwarp_policy"] = f"{type(e).__name__}: {e}"[:300]
+
     # Roofline context (the honest MFU analogue for a gather-bound
     # workload): the march forward is bounded by the measured 64-wide-row
     # gather price (~10.5 ns/idx, experiments/row_scatter_results.jsonl
@@ -385,6 +406,53 @@ def main():
         vs_baseline = None
         errors["cpu_baseline"] = f"{type(e).__name__}: {e}"[:300]
 
+    # 512^3 gradient rung (round 4): the auto-selected blockwise split
+    # backward — the only form whose programs all fit the remote compile
+    # budget at this scale (BASELINE.md round-4 section).  Host-level
+    # loop, so timed directly (still chained: the carry perturbs the
+    # camera between steps).  Placed LAST: it allocates a 512 MB volume
+    # plus multi-GB march tables, and a failure here must not cost the
+    # headline numbers.
+    bw512 = None
+    try:
+        from differender_tpu.render import value_and_grad_render
+        cfg512 = RenderConfig(volume_shape=(512,) * 3,
+                              image_shape=(IMG, IMG),
+                              max_samples=MAX_SAMPLES, block_size=64,
+                              march_vjp="sorted", march_table="super64s2")
+        assert cfg512.use_blockwise_grad(), "expected the blockwise path"
+        vol512 = jax.random.uniform(jax.random.PRNGKey(1), (512,) * 3,
+                                    jnp.float32) * 0.5
+
+        def _loss512(out):
+            return jnp.mean(out.image ** 2)
+
+        def _step512(c):
+            lf = jnp.asarray(lf0 + np.float32(c) * 1e-6)
+            loss, (dv, dt) = value_and_grad_render(
+                vol512, tf, lf, cfg512, _loss512)
+            jax.block_until_ready(dv)
+            return c + 1.0 + float(loss) * 0.0
+
+        t0 = time.time()
+        c512 = _step512(0.0)
+        bw512_cold = time.time() - t0
+        warm = []
+        for _ in range(2):
+            t0 = time.time()
+            c512 = _step512(c512)
+            warm.append(time.time() - t0)
+        bw512 = {
+            "fwd_bwd_s_warm": [round(s, 3) for s in warm],
+            "fwd_bwd_s_cold": round(bw512_cold, 1),
+            "strategy": "blockwise split sorted (auto-selected by "
+                        "config.use_blockwise_grad)",
+            "monolithic_ad_s_r3": 9.82,
+        }
+        del vol512
+    except Exception as e:
+        errors["bw512"] = f"{type(e).__name__}: {e}"[:300]
+
     print(json.dumps({
         "metric": ("fwd+bwd steps/sec @ 256^3 vol, 512^2 img "
                    "(exact reference-semantics renderer)"),
@@ -417,6 +485,8 @@ def main():
             "shearwarp_steps_per_s": (round(1.0 / sw_step_s, 4)
                                       if sw_step_s else None),
             **fid_out,
+            **sw_policy,
+            "fwd_bwd_512cubed_blockwise": bw512,
             "roofline": roofline,
             "errors": errors or None,
         },
