@@ -233,6 +233,33 @@ class RenderConfig:
                                      # plain scan — needed where the cond's
                                      # extra backward memory does not fit
                                      # (parity mode at 256^3/512^2).
+    compact_after: int = 0           # DIFF-path alive-ray compaction: after
+                                     # this many march blocks, permute rays
+                                     # alive-first and march the remaining
+                                     # blocks as a scan over compact_prefix-
+                                     # sized ray tiles with a per-tile skip
+                                     # (sorted => alive rays fill a prefix;
+                                     # only ceil(alive/P) tiles march).
+                                     # 0 = off.  Exact per ray: the
+                                     # alive predicate is the march's own
+                                     # prefix-closed gate ((acc_a < ert) &
+                                     # (n_samples > s0)), so skipped rays'
+                                     # remaining blocks are no-ops; lane
+                                     # order never enters the per-ray math.
+                                     # Motivation: ERT-effective samples
+                                     # are 16% of nominal at the headline
+                                     # noise scene while the global block
+                                     # skip marches (and the sorted VJP
+                                     # sorts+takes) every lane — the
+                                     # (M, 64) cotangent take at 17.6
+                                     # ns/row is the single largest
+                                     # backward cost (r14/r15 rows,
+                                     # experiments/r8_headline_results
+                                     # .jsonl).  Requires ert and a
+                                     # non-'tiled' march_vjp.
+    compact_prefix: float = 0.25     # static alive-prefix fraction of H*W
+                                     # marched after compaction (rounded up
+                                     # to a multiple of 512)
 
     # ------------------------------------------------------------------
     # Derived static quantities

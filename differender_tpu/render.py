@@ -450,6 +450,11 @@ def march_diff(
             "camera_grads=True requires march_vjp='ad' (the 'tiled'/"
             "'sorted' hand-VJPs drop the sample-position cotangent terms); "
             f"got march_vjp={config.march_vjp!r}")
+    if config.compact_after and tiled:
+        raise ValueError(
+            "compact_after is incompatible with march_vjp='tiled' (the "
+            "tiled VJP requires tile-contiguous lane order; compaction "
+            "permutes lanes)")
 
     if tiled:
         # Tile-major pixel order: the hand-written VJP scatters volume
@@ -484,58 +489,146 @@ def march_diff(
 
     grp = _safe_supercell_group(config, sampling_rate, block)
 
-    def eval_block(carry, s0):
-        accs, cnt = carry
-        steps = s0 + jnp.arange(block, dtype=jnp.int32)
-        pr, pg, pb, pa, _, in_range = _eval_block_soa(
-            (kind_op, vol_op), tf_op, rays.origin, soa, steps, sr, config,
-            clamp_light=True, super_group=grp,
-            tiled_volume=volume if (tiled or sorted_vjp) else None,
-            n_tiles=n_tiles, vjp_mode=config.march_vjp)
-        accs, cnt, _ = composite_block_soa(accs, cnt, pr, pg, pb, pa,
-                                           in_range, config, ert=ert)
-        return (accs, cnt), None
-
-    # Remat with named residuals: O(5*K*N) saved per block (the tagged
-    # intensity/gradient/alpha), everything else recomputed — crucially the
-    # cell-row gather is NOT re-issued in the backward (see _eval_block_soa).
-    # The checkpoint sits INSIDE the ERT conditional below: wrapping the
-    # cond from outside defeats the named-residual policy (everything in
-    # the taken branch gets saved — 22 GB at the headline config).
-    eval_block = jax.checkpoint(
-        eval_block,
-        policy=jax.checkpoint_policies.save_only_these_names(
-            "march_intensity", "march_gx", "march_gy", "march_gz",
-            "march_alpha"),
-        prevent_cse=False)
-
-    if ert and config.ert_block_skip:
-        # Block-level early-ray termination: once every ray is either
-        # ERT-gated (acc alpha >= threshold) or past its sample count, the
-        # remaining blocks are EXACT no-ops (the composite gate is
-        # prefix-closed), so skip them with a runtime conditional — the
-        # differentiable-path analogue of the reference's per-thread
-        # copy-forward branch (`:267-269,304-306`) and of march_nondiff's
-        # while_loop.  Measured: 2.07x forward, 1.83x fwd+bwd at the
-        # headline config.  Under vmap the cond lowers to a select (both
-        # branches run) — correct, just without the savings.
-        # ert_block_skip=False restores the plain scan (the cond adds a
-        # few hundred MB to the backward's peak memory — parity mode at
-        # the headline config sits exactly at the HBM edge).
-        def block_fn(carry, s0):
+    def _mk_block_fn(soa_x):
+        """The remat'd, ERT-skip-wrapped march-block body over an arbitrary
+        ray SoA (the compaction path below marches the same body on an
+        alive-compacted prefix SoA)."""
+        def eval_block(carry, s0):
             accs, cnt = carry
-            alive = jnp.any((accs[3] < config.ert_threshold)
-                            & (soa.n_samples > s0))
-            return jax.lax.cond(alive, eval_block,
-                                lambda c, _s: (c, None), carry, s0)
-    else:
-        block_fn = eval_block
+            steps = s0 + jnp.arange(block, dtype=jnp.int32)
+            pr, pg, pb, pa, _, in_range = _eval_block_soa(
+                (kind_op, vol_op), tf_op, rays.origin, soa_x, steps, sr,
+                config, clamp_light=True, super_group=grp,
+                tiled_volume=volume if (tiled or sorted_vjp) else None,
+                n_tiles=n_tiles, vjp_mode=config.march_vjp)
+            accs, cnt, _ = composite_block_soa(accs, cnt, pr, pg, pb, pa,
+                                               in_range, config, ert=ert)
+            return (accs, cnt), None
 
+        # Remat with named residuals: O(5*K*N) saved per block (the tagged
+        # intensity/gradient/alpha), everything else recomputed — crucially
+        # the cell-row gather is NOT re-issued in the backward (see
+        # _eval_block_soa).  The checkpoint sits INSIDE the ERT conditional
+        # below: wrapping the cond from outside defeats the named-residual
+        # policy (everything in the taken branch gets saved — 22 GB at the
+        # headline config).
+        eval_block = jax.checkpoint(
+            eval_block,
+            policy=jax.checkpoint_policies.save_only_these_names(
+                "march_intensity", "march_gx", "march_gy", "march_gz",
+                "march_alpha"),
+            prevent_cse=False)
+
+        if ert and config.ert_block_skip:
+            # Block-level early-ray termination: once every ray is either
+            # ERT-gated (acc alpha >= threshold) or past its sample count,
+            # the remaining blocks are EXACT no-ops (the composite gate is
+            # prefix-closed), so skip them with a runtime conditional — the
+            # differentiable-path analogue of the reference's per-thread
+            # copy-forward branch (`:267-269,304-306`) and of
+            # march_nondiff's while_loop.  Measured: 2.07x forward, 1.83x
+            # fwd+bwd at the headline config.  Under vmap the cond lowers
+            # to a select (both branches run) — correct, just without the
+            # savings.  ert_block_skip=False restores the plain scan (the
+            # cond adds a few hundred MB to the backward's peak memory —
+            # parity mode at the headline config sits exactly at the HBM
+            # edge).
+            def block_fn(carry, s0):
+                accs, cnt = carry
+                alive = jnp.any((accs[3] < config.ert_threshold)
+                                & (soa_x.n_samples > s0))
+                return jax.lax.cond(alive, eval_block,
+                                    lambda c, _s: (c, None), carry, s0)
+            return block_fn
+        return eval_block
+
+    block_fn = _mk_block_fn(soa)
     zero = jnp.zeros((N,), jnp.float32)
     accs0 = (zero, zero, zero, zero)
     cnt0 = jnp.ones((N,), jnp.int32)   # init 1, see `clear_framebuffer` `:381`
     starts = jnp.arange(n_blocks, dtype=jnp.int32) * block
-    (accs, cnt), _ = jax.lax.scan(block_fn, (accs0, cnt0), starts)
+    compact = (ert and not tiled and 0 < config.compact_after < n_blocks)
+    if not compact:
+        (accs, cnt), _ = jax.lax.scan(block_fn, (accs0, cnt0), starts)
+    else:
+        # Alive-ray compaction (config.compact_after): ERT terminates most
+        # rays early (measured 16% effective/nominal samples at the
+        # headline noise scene) but the global block skip keeps every lane
+        # marching — and the sorted VJP's per-block (M, 64) cotangent
+        # sort+take (17.6 ns/row, the largest single backward cost) pays
+        # for every lane too.  After `compact_after` blocks, permute rays
+        # alive-first (ONE packed (N, 16) take — gather op count per
+        # CLAUDE.md rules 3/5) and march the remaining blocks as a scan
+        # over N/P ray TILES with a per-tile skip: alive rays occupy a
+        # sorted prefix, so only ceil(n_alive/P) tiles march and the rest
+        # skip — exact for EVERY alive count with a single tail body (an
+        # earlier cond-with-full-width-fallback form carried two tail
+        # bodies and crashed the remote compile helper at the headline
+        # config).  Exactness: the alive predicate is the march's own
+        # prefix-closed gate — a dead ray's remaining blocks contribute
+        # exactly nothing — and all per-ray math is lane-order invariant
+        # (d_volume changes only by scatter-order reassociation ulps).
+        ca = config.compact_after
+        (accs, cnt), _ = jax.lax.scan(block_fn, (accs0, cnt0),
+                                      starts[:ca])
+        s_split = jnp.int32(ca * block)
+        alive = (accs[3] < config.ert_threshold) & (soa.n_samples > s_split)
+        order = jnp.argsort(jnp.logical_not(
+            jax.lax.stop_gradient(alive))).astype(jnp.int32)
+        pack = jnp.stack([
+            soa.dx, soa.dy, soa.dz, soa.t0, soa.dt,
+            soa.n_samples.astype(jnp.float32),          # <= max_samples:
+            accs[0], accs[1], accs[2], accs[3],         # exact in f32
+            cnt.astype(jnp.float32),
+            jax.lax.stop_gradient(alive).astype(jnp.float32),
+            zero, zero, zero, zero], axis=1)            # pad to (N, 16)
+        pk = jnp.take(pack, order, axis=0)
+        n_tiles_c = max(1, int(round(1.0 / config.compact_prefix)))
+        while N % n_tiles_c:
+            n_tiles_c -= 1
+        P = N // n_tiles_c
+        tail_starts = starts[ca:]
+        soa_cols = pk[:, 0:6]
+        accs_p = (pk[:, 6], pk[:, 7], pk[:, 8], pk[:, 9])
+        cnt_p = pk[:, 10].astype(jnp.int32)
+        alive_p = pk[:, 11]
+
+        def tile_body(carry, k):
+            accs_t, cnt_t = carry
+            off = k * jnp.int32(P)
+            sl = jax.lax.dynamic_slice_in_dim(soa_cols, off, P, axis=0)
+            soa_k = _RaySoA(dx=sl[:, 0], dy=sl[:, 1], dz=sl[:, 2],
+                            t0=sl[:, 3], dt=sl[:, 4],
+                            n_samples=sl[:, 5].astype(jnp.int32))
+            a_k = tuple(jax.lax.dynamic_slice_in_dim(x, off, P)
+                        for x in accs_t)
+            c_k = jax.lax.dynamic_slice_in_dim(cnt_t, off, P)
+
+            def run(args):
+                a0, c0 = args
+                fn = _mk_block_fn(soa_k)
+                (a1, c1), _ = jax.lax.scan(fn, (a0, c0), tail_starts)
+                return a1, c1
+
+            any_alive = jnp.any(
+                jax.lax.dynamic_slice_in_dim(alive_p, off, P) > 0.0)
+            a_k, c_k = jax.lax.cond(any_alive, run, lambda args: args,
+                                    (a_k, c_k))
+            accs_t = tuple(
+                jax.lax.dynamic_update_slice_in_dim(x, xk, off, 0)
+                for x, xk in zip(accs_t, a_k))
+            cnt_t = jax.lax.dynamic_update_slice_in_dim(cnt_t, c_k, off, 0)
+            return (accs_t, cnt_t), None
+
+        (accs_p, cnt_p), _ = jax.lax.scan(
+            tile_body, (accs_p, cnt_p),
+            jnp.arange(n_tiles_c, dtype=jnp.int32))
+        out_pack = jnp.stack([accs_p[0], accs_p[1], accs_p[2], accs_p[3],
+                              cnt_p.astype(jnp.float32),
+                              zero, zero, zero], axis=1)    # (N, 8)
+        unsorted = jnp.zeros((N, 8), jnp.float32).at[order].set(out_pack)
+        accs = tuple(unsorted[:, i] for i in range(4))
+        cnt = unsorted[:, 4].astype(jnp.int32)
     if tiled:
         acc = jnp.stack([_invord(a) for a in accs], axis=-1)
         return acc, _invord(cnt)
