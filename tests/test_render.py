@@ -283,3 +283,50 @@ def test_choose_diff_renderer_policy(shell_volume):
     fn2, name2 = choose_diff_renderer(noise, tf, lf, cfg,
                                       sampling_rate=0.8)
     assert name2 == "plain" and fn2 is render
+
+
+def test_compacted_march_exact(shell_volume):
+    """Alive-ray compaction (config.compact_after) == render bitwise:
+    the alive predicate is the march's own prefix-closed gate, the
+    permutation never enters per-ray math, and both the compacted-tiles
+    and all-tiles-marching regimes are exercised (opaque vs faint TF)."""
+    vol = jnp.asarray(shell_volume)
+    lf = jnp.asarray(np.array([1.2, 0.8, 2.0], np.float32))
+    key = jax.random.PRNGKey(2)
+    base = RenderConfig(volume_shape=vol.shape, image_shape=(16, 16),
+                        max_samples=64, block_size=8, march_vjp="sorted",
+                        march_table="super64")
+    for tfx in (jnp.asarray(get_tf("tf1", 32)),          # mixed termination
+                jnp.ones((32, 4), jnp.float32),          # all die block 0
+                jnp.full((32, 4), 0.01, jnp.float32)):   # nothing dies
+        for kw in (dict(compact_after=2, compact_prefix=0.25),
+                   dict(compact_after=1, compact_prefix=0.125)):
+            cfg_c = base.replace(**kw)
+            a = render(vol, tfx, lf, base, sampling_rate=0.8, key=key)
+            b = render(vol, tfx, lf, cfg_c, sampling_rate=0.8, key=key)
+            np.testing.assert_allclose(np.asarray(b.image),
+                                       np.asarray(a.image), atol=1e-6)
+            np.testing.assert_array_equal(np.asarray(b.valid_steps),
+                                          np.asarray(a.valid_steps))
+            ga = jax.grad(lambda v, t: jnp.sum(render(
+                v, t, lf, base, sampling_rate=0.8, key=key).image),
+                argnums=(0, 1))(vol, tfx)
+            gb = jax.grad(lambda v, t: jnp.sum(render(
+                v, t, lf, cfg_c, sampling_rate=0.8, key=key).image),
+                argnums=(0, 1))(vol, tfx)
+            for x, y in zip(ga, gb):
+                sc = max(float(jnp.abs(x).max()), 1e-9)
+                np.testing.assert_allclose(np.asarray(y), np.asarray(x),
+                                           atol=1e-5 * sc)
+
+
+def test_compacted_march_refuses_tiled():
+    import pytest
+    cfg = RenderConfig(volume_shape=(16, 16, 16), image_shape=(16, 16),
+                       max_samples=32, block_size=8, march_vjp="tiled",
+                       compact_after=1)
+    vol = jnp.zeros((16, 16, 16), jnp.float32)
+    tf = jnp.zeros((32, 4), jnp.float32)
+    with pytest.raises(ValueError, match="compact_after"):
+        render(vol, tf, jnp.asarray(np.array([1.2, 0.8, 2.0], np.float32)),
+               cfg)
