@@ -213,7 +213,22 @@ def main():
 
     # N=3 individually-timed iterations of one chained run (variance,
     # r2 #7; the chain carries across samples — see _chain_samples).
+    # Round 4: the headline rides the SCENE POLICY (choose_diff_renderer),
+    # which routes the fast-saturating noise scene to the EXACT alive-ray
+    # compacted march (compact_after; 1.52 -> 1.06 s measured, r16 rows in
+    # experiments/r8_headline_results.jsonl).  The policy probe runs once
+    # per scene, outside the timed chain — exactly how a training loop
+    # amortizes it.
+    from differender_tpu import choose_diff_renderer
+    headline_policy = "plain"
     step_f = make(cfg_grad, "grad")
+    try:
+        rfn_n, headline_policy = choose_diff_renderer(
+            vol_noise, tf, jnp.asarray(lf0), cfg_grad, sampling_rate=SR)
+        if headline_policy != "plain":
+            step_f = make(cfg_grad, "grad", render_fn=rfn_n)
+    except Exception as e:
+        errors["headline_policy"] = f"{type(e).__name__}: {e}"[:300]
     step_samples = _chain_samples(step_f, n=3, args=(vol_noise, tf))
     step_s = sum(step_samples) / len(step_samples)
     # Phantom scene rides the SCENE POLICY (round-4 verdict item 2): on
@@ -221,19 +236,19 @@ def main():
     # chunked march (exact — permutation + the same prefix-closed skip),
     # so each depth group's ERT block skip fires at its own depth instead
     # of waiting for the deepest ray in the image.
-    from differender_tpu import choose_diff_renderer
     phantom_policy = "plain"
     try:
         rfn, phantom_policy = choose_diff_renderer(
             vol_phantom, tf, jnp.asarray(lf0), cfg_grad, sampling_rate=SR)
-        step_ph_f = (step_f if phantom_policy == "plain"
+        step_ph_f = (make(cfg_grad, "grad") if phantom_policy == "plain"
                      else make(cfg_grad, "grad", render_fn=rfn))
         step_phantom_s = _chain_bench(step_ph_f, n=1,
                                       args=(vol_phantom, tf))
     except Exception as e:
         errors["phantom_policy"] = f"{type(e).__name__}: {e}"[:300]
         phantom_policy = "plain"
-        step_phantom_s = _chain_bench(step_f, n=1, args=(vol_phantom, tf))
+        step_phantom_s = _chain_bench(make(cfg_grad, "grad"), n=1,
+                                      args=(vol_phantom, tf))
     fwd_s = _chain_bench(make(cfg_exact, "fwd"), n=2, args=(vol_noise, tf))
     try:
         analytic_step_s = _chain_bench(make(cfg_analytic, "grad"), n=1,
@@ -467,6 +482,7 @@ def main():
             "fwd_bwd_s_samples": [round(s, 4) for s in step_samples],
             "grad_config": "march_vjp=sorted block=64 (fwd: ad-equivalent "
                            "forward graph at block 16)",
+            "headline_policy": headline_policy,
             "fwd_bwd_s_phantom_scene": round(step_phantom_s, 4),
             "phantom_scene_policy": phantom_policy,
             "fwd_nondiff_mrays_per_s": round(IMG * IMG / fwd_s / 1e6, 3),

@@ -1116,34 +1116,84 @@ def _depth_spread(volume, tf, look_from, config: RenderConfig,
     return jnp.sum(((rho < 0.5) & hit).astype(jnp.float32)) / n_hit
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("config", "sampling_rate", "s_split"))
+def _alive_fraction(volume, tf, look_from, config: RenderConfig,
+                    sampling_rate: float, s_split: int):
+    """Fraction of rays still marching after ``s_split`` steps, from one
+    probe-resolution forward render.  ``valid_steps`` is (to within one
+    gated step) each ray's termination depth: ERT-terminated rays stop
+    counting at the saturation step, exhausted rays at their sample
+    count — so ``valid_steps > s_split`` is the march's own alive
+    predicate, estimated per ray."""
+    out = render(volume, tf, look_from, config, sampling_rate)
+    vs = out.valid_steps.reshape(-1)
+    return jnp.mean((vs > s_split).astype(jnp.float32))
+
+
 def choose_diff_renderer(volume, tf, look_from, config: RenderConfig,
                          sampling_rate: Optional[float] = None,
-                         chunks: int = 4, threshold: float = 0.25):
+                         chunks: int = 4, threshold: float = 0.25,
+                         alive_threshold: float = 0.125,
+                         compact_after: int = 2):
     """Scene-adaptive choice of the differentiable renderer (host-level).
 
-    The diff march's ERT block skip is global, so on STRUCTURED scenes
-    (real CT content: bounded objects, empty background) one deep ray
-    keeps every lane marching — the CT-phantom headline config runs 1.6x
-    slower than uniform noise (BENCH_r03).  :func:`render_depth_sorted`
-    fixes exactly that (phantom 2.47 -> 2.07 s measured) but costs a
-    constant permutation overhead that LOSES on unstructured scenes
-    (noise 1.52 -> 2.13 s pre-packing; experiments/
-    r8_headline_results.jsonl).  The reference never faces the choice —
-    its per-thread ERT is scene-adaptive by construction
+    The diff march's ERT block skip is global, so one deep ray keeps
+    every lane marching.  Two exact scene-adaptive forms fix the two ways
+    scenes defeat it, with opposite win conditions (all numbers at the
+    256^3/512^2/512 headline, experiments/r8_headline_results.jsonl):
+
+    * SATURATING scenes (dense content: rays hit alpha >= 0.99 early,
+      but the deepest ray pins the global skip) -> alive-ray COMPACTION
+      (``config.compact_after``): uniform noise 1.52 -> 1.06 s.  On
+      slow-saturating scenes compaction only adds its permutation
+      overhead (phantom 2.47 -> 2.7 s).
+    * STRUCTURED scenes (bounded objects, empty background: rays stay
+      alive but their useful depth varies) -> :func:`render_depth_sorted`:
+      phantom 2.47 -> 2.07 s, noise 1.52 -> 2.13 s.
+
+    The reference never faces the choice — its per-thread ERT is
+    scene-adaptive by construction
     (/root/reference/differender/volume_raycaster.py:267-269); this
-    policy is the TPU equivalent, decided once per scene.
+    policy is the TPU equivalent, decided once per scene: a 128^2 probe
+    render measures the alive fraction after ``compact_after`` blocks
+    (compaction wins iff few rays remain), then the occupancy
+    depth-spread statistic picks depth sorting vs plain.
 
     Returns ``(render_fn, name)`` where ``render_fn`` has the
-    :func:`render` signature and ``name`` is ``"depth_sorted"`` or
-    ``"plain"``.  Call it OUTSIDE jit (it syncs one scalar to the host);
-    in a training loop, re-choose when the scene changes materially, not
-    every step.
+    :func:`render` signature and ``name`` is ``"compacted"``,
+    ``"depth_sorted"`` or ``"plain"``.  Call it OUTSIDE jit (it syncs
+    scalars to the host); in a training loop, re-choose when the scene
+    changes materially, not every step.
     """
     sr = config.sampling_rate if sampling_rate is None else sampling_rate
-    frac = float(_depth_spread(jnp.asarray(volume, jnp.float32),
-                               jnp.asarray(tf, jnp.float32),
-                               jnp.asarray(look_from, jnp.float32),
-                               config, float(sr)))
+    vol32 = jnp.asarray(volume, jnp.float32)
+    tf32 = jnp.asarray(tf, jnp.float32)
+    lf32 = jnp.asarray(look_from, jnp.float32)
+    n_blocks = -(-config.diff_march_steps(float(sr)) // config.block_size)
+    if 0 < compact_after < n_blocks:
+        probe_cfg = config.replace(image_shape=(128, 128), compact_after=0)
+        alive = float(_alive_fraction(
+            vol32, tf32, lf32, probe_cfg, float(sr),
+            compact_after * config.block_size))
+        if alive <= alive_threshold:
+            # Prefix bucket: the smallest power-of-two fraction with ~1.5x
+            # slack over the measured alive fraction (marching cost is
+            # ceil(alive/P) tiles of P rays; 1/16 and 1/32 measured within
+            # 1% of each other at the headline — the knob is flat near the
+            # optimum).
+            import math
+            k = min(5, max(2, int(-math.log2(max(alive, 1e-6) * 1.5))))
+            cp = 2.0 ** -k
+
+            def fn(volume, tf, look_from, config, sampling_rate=None,
+                   key=None, _ca=compact_after, _cp=cp):
+                return render(volume, tf, look_from,
+                              config.replace(compact_after=_ca,
+                                             compact_prefix=_cp),
+                              sampling_rate=sampling_rate, key=key)
+            return fn, "compacted"
+    frac = float(_depth_spread(vol32, tf32, lf32, config, float(sr)))
     if frac > threshold:
         def fn(volume, tf, look_from, config, sampling_rate=None, key=None,
                _chunks=chunks):

@@ -53,17 +53,32 @@ ARMS = {
     "phantom_ctl": ("grad", "phantom", 0, 0.25),
     "phantom_c1_8": ("grad", "phantom", 1, 0.125),
     "phantom_c2_4": ("grad", "phantom", 2, 0.25),
+    # round 2 of the sweep (c2_8 led round 1 at 1.10 s vs 1.52 ctl):
+    "c3_8": ("grad", "noise", 3, 0.125),
+    "c2_16": ("grad", "noise", 2, 0.0625),
+    "c3_16": ("grad", "noise", 3, 0.0625),
+    "fwd_c2_8": ("fwd", "noise", 2, 0.125),
+    "phantom_c2_8": ("grad", "phantom", 2, 0.125),
+    # round 3 (c2_16 led round 2 at 1.06 s): shorter full-width head via
+    # block 32, and a smaller prefix.
+    "c2_32": ("grad", "noise", 2, 0.03125),
+    "b32c2_16": ("grad", "noise", 2, 0.0625, 32),
+    "b32c3_16": ("grad", "noise", 3, 0.0625, 32),
+    "b32c4_16": ("grad", "noise", 4, 0.0625, 32),
+    "fwd_c2_16": ("fwd", "noise", 2, 0.0625),
 }
 
 arm = sys.argv[1]
-mode, scene, ca, cp = ARMS[arm]
+spec = ARMS[arm]
+mode, scene, ca, cp = spec[:4]
+blk = spec[4] if len(spec) > 4 else 64
 
 vol = (jnp.asarray(ct_phantom(VOL)) if scene == "phantom"
        else jax.random.uniform(jax.random.PRNGKey(0), (VOL,) * 3,
                                jnp.float32) * 0.5)
 tf = jnp.asarray(np.asarray(get_tf("tf1", 128), np.float32))
 cfg = RenderConfig(volume_shape=(VOL,) * 3, image_shape=(IMG, IMG),
-                   max_samples=MS, block_size=64, march_vjp="sorted",
+                   max_samples=MS, block_size=blk, march_vjp="sorted",
                    compact_after=ca, compact_prefix=cp)
 
 if mode == "grad":

@@ -257,9 +257,9 @@ def test_render_depth_sorted_exact(shell_volume):
 
 def test_choose_diff_renderer_policy(shell_volume):
     """The scene policy picks depth-sorted for structured content (empty
-    background => spread of predicted march depths) and the plain
-    renderer for unstructured content, and the returned callable renders
-    exactly."""
+    background => spread of predicted march depths; rays stay alive) and
+    alive-ray compaction for fast-saturating content, and the returned
+    callables render exactly."""
     from differender_tpu import choose_diff_renderer
     tf = jnp.asarray(get_tf("tf1", 32))
     lf = jnp.asarray(np.array([1.2, 0.8, 2.0], np.float32))
@@ -274,15 +274,23 @@ def test_choose_diff_renderer_policy(shell_volume):
     np.testing.assert_allclose(np.asarray(b.image), np.asarray(a.image),
                                atol=1e-6)
 
-    # Unstructured = occupied everywhere.  tf1 is opaque only on narrow
-    # intensity bands (alpha == 0 above ~0.47), so keep the noise inside
-    # its widest high-alpha band — noise spanning transparent intensities
-    # legitimately HAS empty occupancy cells and WANTS depth sorting.
+    # Dense in-band noise saturates every hitting ray within the first
+    # couple of blocks (tf1 is opaque on its widest band) — the alive-
+    # fraction probe routes it to compaction; the compacted render is
+    # bitwise-exact.
     noise = 0.36 + jax.random.uniform(jax.random.PRNGKey(3),
                                       shell_volume.shape, jnp.float32) * 0.08
     fn2, name2 = choose_diff_renderer(noise, tf, lf, cfg,
                                       sampling_rate=0.8)
-    assert name2 == "plain" and fn2 is render
+    assert name2 == "compacted"
+    a = render(noise, tf, lf, cfg, sampling_rate=0.8, key=key)
+    b = fn2(noise, tf, lf, cfg, sampling_rate=0.8, key=key)
+    np.testing.assert_array_equal(np.asarray(b.image), np.asarray(a.image))
+    # With compaction disabled (compact_after=0) the policy still
+    # distinguishes depth-sorted from plain.
+    fn3, name3 = choose_diff_renderer(noise, tf, lf, cfg,
+                                      sampling_rate=0.8, compact_after=0)
+    assert name3 == "plain" and fn3 is render
 
 
 def test_compacted_march_exact(shell_volume):
