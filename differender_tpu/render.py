@@ -1204,6 +1204,61 @@ def choose_diff_renderer(volume, tf, look_from, config: RenderConfig,
     return render, "plain"
 
 
+@jax.jit
+def _bw_alive_order(acc_a, n_samples, s0, thr):
+    """Alive count + alive-first stable permutation for the blockwise
+    compaction (the march's own prefix-closed gate; see march_diff)."""
+    alive = (acc_a < thr) & (n_samples > s0)
+    order = jnp.argsort(jnp.logical_not(alive)).astype(jnp.int32)
+    return jnp.sum(alive.astype(jnp.int32)), order
+
+
+@jax.jit
+def _bw_pack_permute(order, soa, accs, cnt):
+    """ONE packed (N, 16) permute of SoA + carries (gather-op count per
+    CLAUDE.md rules 3/5; counts/samples round-trip f32 exactly)."""
+    z = jnp.zeros_like(soa.dx)
+    pack = jnp.stack([soa.dx, soa.dy, soa.dz, soa.t0, soa.dt,
+                      soa.n_samples.astype(jnp.float32),
+                      accs[0], accs[1], accs[2], accs[3],
+                      cnt.astype(jnp.float32),
+                      z, z, z, z, z], axis=1)
+    return jnp.take(pack, order, axis=0)
+
+
+@jax.jit
+def _bw_unpermute(order, accs_p, cnt_p, dead_accs, dead_cnt):
+    """Rebuild full-width carries from (compacted prefix, dead tail) in
+    permuted order: ONE packed (N, 8) scatter."""
+    pack = jnp.stack([
+        jnp.concatenate([a, d]) for a, d in zip(accs_p, dead_accs)
+    ] + [jnp.concatenate([cnt_p, dead_cnt]).astype(jnp.float32)] + [
+        jnp.zeros((order.shape[0],), jnp.float32)] * 3, axis=1)
+    un = jnp.zeros_like(pack).at[order].set(pack)
+    return tuple(un[:, i] for i in range(4)), un[:, 4].astype(jnp.int32)
+
+
+@jax.jit
+def _bw_permute_d(order, d_accs):
+    """Transpose of _bw_unpermute's scatter for the head cotangent: one
+    packed take into compacted order."""
+    pack = jnp.stack(list(d_accs)
+                     + [jnp.zeros_like(d_accs[0])] * 4, axis=1)
+    return jnp.take(pack, order, axis=0)
+
+
+@jax.jit
+def _bw_expand_d(order, d_accs_p, d_dead):
+    """Transpose of the forward's pack/permute/slice at the split
+    boundary: concat the prefix and dead-tail cotangents and un-permute
+    back to ray order (one packed scatter)."""
+    pack = jnp.stack([
+        jnp.concatenate([a, d]) for a, d in zip(d_accs_p, d_dead)
+    ] + [jnp.zeros((order.shape[0],), jnp.float32)] * 4, axis=1)
+    un = jnp.zeros_like(pack).at[order].set(pack)
+    return tuple(un[:, i] for i in range(4))
+
+
 def value_and_grad_blockwise(
     volume: Array,
     tf: Array,
@@ -1304,10 +1359,43 @@ def value_and_grad_blockwise(
     accs = (zero, zero, zero, zero)
     cnt = jnp.ones((N,), jnp.int32)
     carries = []
+    # HOST-level alive-ray compaction (config.compact_after): the per-
+    # block sync below means the alive count is ~free to fetch, and
+    # termination is MONOTONE (acc alpha never decreases; remaining
+    # samples never increase), so ONE prefix bucket P >= alive(split) is
+    # exact for every later block — no fallback machinery needed, just a
+    # re-specialization of the same jit programs at the smaller width.
+    # Skipped when more than half the rays are alive at the split.
+    ca = (config.compact_after
+          if 0 < config.compact_after < n_blocks and ert else 0)
+    order = None
+    soa_c = soa
+    P = 0
     for b in range(n_blocks):
+        if ca and b == ca:
+            n_alive, order = _bw_alive_order(
+                accs[3], soa.n_samples, jnp.int32(b * block),
+                config.ert_threshold)
+            n_alive = int(n_alive)
+            for kk in (4, 3, 2, 1):
+                if n_alive <= (N >> kk):
+                    P = N >> kk
+                    break
+            if P:
+                pk = _bw_pack_permute(order, soa, accs, cnt)
+                soa_c = _RaySoA(dx=pk[:P, 0], dy=pk[:P, 1], dz=pk[:P, 2],
+                                t0=pk[:P, 3], dt=pk[:P, 4],
+                                n_samples=pk[:P, 5].astype(jnp.int32))
+                accs = tuple(pk[:P, 6 + i] for i in range(4))
+                cnt = pk[:P, 10].astype(jnp.int32)
+                dead_accs = tuple(pk[P:, 6 + i] for i in range(4))
+                dead_cnt = pk[P:, 10].astype(jnp.int32)
+            else:
+                order = None
         carries.append((accs, cnt))
-        accs, cnt = fwd_block(volume, tf, vol_tbl, soa, origin, accs, cnt,
-                              jnp.int32(b * block))
+        soa_b = soa_c if (P and b >= ca) else soa
+        accs, cnt = fwd_block(volume, tf, vol_tbl, soa_b, origin, accs,
+                              cnt, jnp.int32(b * block))
         # Serialize the forward too: the runtime allocates each enqueued
         # execution's output/temp buffers at ENQUEUE time, so a warm step
         # (no compiles interleaved to drain the queue) that dispatches all
@@ -1320,9 +1408,23 @@ def value_and_grad_blockwise(
         # cost, same as the backward loop below.
         jax.block_until_ready(accs)
 
+    if P:
+        accs_full, cnt_full = _bw_unpermute(order, accs, cnt, dead_accs,
+                                            dead_cnt)
+    else:
+        accs_full, cnt_full = accs, cnt
     loss, head_vjp = jax.vjp(
-        lambda a: loss_head(a, cnt, ray_n_samples, loss_args), accs)
+        lambda a: loss_head(a, cnt_full, ray_n_samples, loss_args),
+        accs_full)
     (d_accs,) = head_vjp(jnp.float32(1.0))
+    if P:
+        # The unpermute above is linear: its transpose re-permutes the
+        # head cotangent into compacted order.  The dead tail's cotangent
+        # bypasses every tail block (their carries pass through unchanged)
+        # and rejoins at the split boundary below.
+        dp = _bw_permute_d(order, d_accs)
+        d_accs = tuple(dp[:P, i] for i in range(4))
+        d_dead = tuple(dp[P:, i] for i in range(4))
 
     d_tf = jnp.zeros_like(tf)
     if place_block is not None:
@@ -1340,10 +1442,17 @@ def value_and_grad_blockwise(
         for b in range(n_blocks - 1, -1, -1):
             accs_b, cnt_b = carries[b]
             s0 = jnp.int32(b * block)
-            dt, d_accs, cots = bwd_block(tf, vol_tbl, soa, origin,
+            soa_b = soa_c if (P and b >= ca) else soa
+            dt, d_accs, cots = bwd_block(tf, vol_tbl, soa_b, origin,
                                          accs_b, cnt_b, s0, d_accs)
-            d_acc = place_block(d_acc, soa, origin, s0, cots)
+            d_acc = place_block(d_acc, soa_b, origin, s0, cots)
             d_tf = d_tf + dt
+            if P and b == ca:
+                # Split boundary: rejoin the dead tail's head cotangent
+                # (which bypassed every tail block) and undo the
+                # compaction permutation — the exact transpose of the
+                # forward's pack/permute/slice.
+                d_accs = _bw_expand_d(order, d_accs, d_dead)
             # Serialize: JAX's async dispatch otherwise queues EVERY
             # block's backward at once, keeping each in-flight block's
             # transients (the (4, B, N) cotangent stack + the (M, 64)
@@ -1358,10 +1467,13 @@ def value_and_grad_blockwise(
         for b in range(n_blocks - 1, -1, -1):
             accs_b, cnt_b = carries[b]
             s0 = jnp.int32(b * block)
-            dv, dt, d_accs = bwd_block(volume, tf, vol_tbl, soa, origin,
+            soa_b = soa_c if (P and b >= ca) else soa
+            dv, dt, d_accs = bwd_block(volume, tf, vol_tbl, soa_b, origin,
                                        accs_b, cnt_b, s0, d_accs)
             d_volume = d_volume + dv
             d_tf = d_tf + dt
+            if P and b == ca:
+                d_accs = _bw_expand_d(order, d_accs, d_dead)
             # Same warm-step enqueue-pressure bound as the forward loop:
             # each AD block's VJP transients (and the full-lattice dv)
             # must not pile up across enqueued blocks.
@@ -1498,14 +1610,14 @@ def _blockwise_programs(config: RenderConfig, sr: float, ert: bool,
         # helper's buffer budget at every block size: the cot program
         # holds the multi-GB march table, the placement program holds the
         # (X,Y,Z) accumulator — never both.
-        H, W = config.image_shape
-        N = H * W
-
         @jax.jit
         def bwd_cot(t, vol_tbl, soa_, origin_, accs, cnt, s0, d_accs):
             # cnt is an int carry: non-differentiable, held fixed; only
-            # the accs cotangent flows here.
-            sink = jnp.zeros((4, block, N), jnp.float32)
+            # the accs cotangent flows here.  The sink width follows the
+            # RAY width of the inputs (not config.image_shape): compacted
+            # blocks call this with an alive-prefix-sized SoA and jit
+            # re-specializes per width.
+            sink = jnp.zeros((4, block, soa_.dx.shape[0]), jnp.float32)
             _, vjp = jax.vjp(
                 lambda t_, a_, sink_: _one_block(
                     None, t_, vol_tbl, soa_, origin_, a_, cnt, s0,

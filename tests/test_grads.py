@@ -384,10 +384,15 @@ class TestBlockwiseVJP:
     to jax.value_and_grad over render() — for both march_vjp modes, with
     ERT block skip, and with jitter replay."""
 
-    @pytest.mark.parametrize("vjp_mode,table", [("ad", "auto"),
-                                                ("sorted", "super64"),
-                                                ("sorted", "super64s2")])
-    def test_matches_monolithic(self, sphere_volume, vjp_mode, table):
+    @pytest.mark.parametrize("vjp_mode,table,compact",
+                             [("ad", "auto", 0),
+                              ("sorted", "super64", 0),
+                              ("sorted", "super64s2", 0),
+                              ("sorted", "super64", 2),
+                              ("sorted", "super64s2", 2),
+                              ("ad", "auto", 2)])
+    def test_matches_monolithic(self, sphere_volume, vjp_mode, table,
+                                compact):
         from differender_tpu import value_and_grad_blockwise
         vol = jnp.asarray(sphere_volume)
         tf = jnp.asarray(get_tf("tf1", 16))
@@ -395,7 +400,8 @@ class TestBlockwiseVJP:
         cfg = RenderConfig(volume_shape=vol.shape, image_shape=(12, 12),
                            tf_resolution=16, max_samples=32, block_size=8,
                            march_table=table, march_vjp=vjp_mode,
-                           vjp_window_rows=512, vjp_box_rows=1024)
+                           vjp_window_rows=512, vjp_box_rows=1024,
+                           compact_after=compact)
         key = jax.random.PRNGKey(7)
 
         def loss_fn(out):
