@@ -255,6 +255,36 @@ def test_render_depth_sorted_exact(shell_volume):
                                atol=1e-5 * sc)
 
 
+def test_render_depth_sorted_with_compaction_exact(shell_volume):
+    """Depth-sorted chunking COMPOSED with per-chunk alive-ray compaction
+    (config.compact_after threads into each chunk program) == render
+    exactly — both mechanisms are pure permutations + the march's own
+    prefix-closed gate, so stacking them stays exact (image and grads)."""
+    from differender_tpu import render_depth_sorted
+    vol = jnp.asarray(shell_volume)
+    tf = jnp.asarray(get_tf("tf1", 32))
+    lf = jnp.asarray(np.array([1.2, 0.8, 2.0], np.float32))
+    key = jax.random.PRNGKey(2)
+    cfg = RenderConfig(volume_shape=vol.shape, image_shape=(16, 16),
+                       max_samples=64, block_size=8,
+                       compact_after=2, compact_prefix=0.25)
+    plain_cfg = cfg.replace(compact_after=0)
+    a = render(vol, tf, lf, plain_cfg, sampling_rate=0.8, key=key)
+    b = render_depth_sorted(vol, tf, lf, cfg, sampling_rate=0.8, key=key,
+                            chunks=4)
+    np.testing.assert_allclose(np.asarray(b.image), np.asarray(a.image),
+                               atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(b.valid_steps),
+                                  np.asarray(a.valid_steps))
+    ga = jax.grad(lambda v: jnp.sum(render(
+        v, tf, lf, plain_cfg, sampling_rate=0.8, key=key).image))(vol)
+    gb = jax.grad(lambda v: jnp.sum(render_depth_sorted(
+        v, tf, lf, cfg, sampling_rate=0.8, key=key, chunks=4).image))(vol)
+    sc = max(float(jnp.abs(ga).max()), 1e-9)
+    np.testing.assert_allclose(np.asarray(gb), np.asarray(ga),
+                               atol=1e-5 * sc)
+
+
 def test_choose_diff_renderer_policy(shell_volume):
     """The scene policy picks depth-sorted for structured content (empty
     background => spread of predicted march depths; rays stay alive) and
