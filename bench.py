@@ -157,6 +157,34 @@ def _phantom(vol_res):
     return ct_phantom(vol_res)
 
 
+def _with_retries(fn, attempts=3, settle_s=45.0):
+    """Run ``fn()`` retrying TRANSIENT remote-compile failures.
+
+    The remote compile service intermittently drops connections or
+    crashes its helper subprocess under load ("response body closed
+    before all bytes were read" / "HTTP 500: tpu_compile_helper"), then
+    recovers after idle (CLAUDE.md rule 6) — a round-4 bench run lost
+    the phantom-policy AND 512^3 rungs to exactly this while the same
+    programs had compiled fine hours earlier.  Only retry on those
+    signatures; real compile errors (OOM, unsupported ops) re-raise
+    immediately."""
+    last = None
+    for i in range(attempts):
+        try:
+            return fn()
+        except Exception as e:  # noqa: BLE001
+            msg = str(e)
+            transient = ("remote_compile" in msg
+                         and ("response body closed" in msg
+                              or "HTTP 500" in msg
+                              or "connection" in msg.lower()))
+            if not transient or i == attempts - 1:
+                raise
+            last = e
+            time.sleep(settle_s)
+    raise last  # unreachable
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -238,12 +266,15 @@ def main():
     # of waiting for the deepest ray in the image.
     phantom_policy = "plain"
     try:
-        rfn, phantom_policy = choose_diff_renderer(
-            vol_phantom, tf, jnp.asarray(lf0), cfg_grad, sampling_rate=SR)
-        step_ph_f = (make(cfg_grad, "grad") if phantom_policy == "plain"
-                     else make(cfg_grad, "grad", render_fn=rfn))
-        step_phantom_s = _chain_bench(step_ph_f, n=1,
-                                      args=(vol_phantom, tf))
+        def _phantom_rung():
+            rfn, pol = choose_diff_renderer(
+                vol_phantom, tf, jnp.asarray(lf0), cfg_grad,
+                sampling_rate=SR)
+            step_ph_f = (make(cfg_grad, "grad") if pol == "plain"
+                         else make(cfg_grad, "grad", render_fn=rfn))
+            return pol, _chain_bench(step_ph_f, n=1,
+                                     args=(vol_phantom, tf))
+        phantom_policy, step_phantom_s = _with_retries(_phantom_rung)
     except Exception as e:
         errors["phantom_policy"] = f"{type(e).__name__}: {e}"[:300]
         phantom_policy = "plain"
@@ -450,7 +481,7 @@ def main():
             return c + 1.0 + float(loss) * 0.0
 
         t0 = time.time()
-        c512 = _step512(0.0)
+        c512 = _with_retries(lambda: _step512(0.0), settle_s=60.0)
         bw512_cold = time.time() - t0
         warm = []
         for _ in range(2):
