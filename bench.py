@@ -1,7 +1,20 @@
 """Headline benchmark (driver-run on TPU).
 
 Metric (BASELINE.json): fwd+bwd steps/sec at 256^3 volume, 512^2 image,
-plus forward Mrays/s.  Prints ONE JSON line.
+plus forward Mrays/s.
+
+Output protocol (round 5, VERDICT r4 item 1): the benchmark prints a
+COMPLETE JSON line to stdout the moment the headline chain is measured,
+then re-prints an updated complete line after every additional rung —
+**the last line wins**.  A driver timeout therefore costs only tail
+rungs, never the headline (round 4's artifact was rc=124/parsed=null
+because a single final print sat behind ~10 serial rungs).  stdout
+carries ONLY JSON lines; progress notes go to stderr.
+
+A wall-clock budget (env ``BENCH_BUDGET_S``, default 1500 s) gates every
+rung after the headline: a rung whose estimated cost exceeds the
+remaining budget is skipped and recorded in ``aux.skipped`` with its
+estimate, so the artifact is honest about what was not measured.
 
 Methodology notes (round 3):
   * Measurements chain a scalar through every iteration (the camera is
@@ -73,6 +86,10 @@ print(json.dumps({'cpu_step_s': (time.time() - t0) / n}))
 """
 
 
+def _note(msg):
+    print(f"[bench] {msg}", file=sys.stderr, flush=True)
+
+
 def _run_cpu_point(v, i, ms, n=2, timeout=7200):
     script = _CPU_SCRIPT % dict(base=BASE, v=v, i=i, ms=ms, blk=BLOCK,
                                 tf=TF_RES, sr=SR, n=n)
@@ -81,7 +98,7 @@ def _run_cpu_point(v, i, ms, n=2, timeout=7200):
     return json.loads(out.stdout.strip().splitlines()[-1])["cpu_step_s"]
 
 
-def measure_cpu_baseline():
+def measure_cpu_baseline(allow_measure=True):
     """CPU proxy with a measured scaling fit.
 
     Measures the exact-math renderer (1 CPU core) at the CPU_CONFIGS ladder
@@ -94,6 +111,9 @@ def measure_cpu_baseline():
             data = json.load(f)
         if "fit_exponent" in data:
             return data
+    if not allow_measure:
+        raise RuntimeError("no cached CPU baseline and measuring is "
+                           "outside the wall-clock budget")
     points = []
     for v, i, ms in CPU_CONFIGS:
         t = _run_cpu_point(v, i, ms)
@@ -165,9 +185,15 @@ def _with_retries(fn, attempts=3, settle_s=45.0):
     before all bytes were read" / "HTTP 500: tpu_compile_helper"), then
     recovers after idle (CLAUDE.md rule 6) — a round-4 bench run lost
     the phantom-policy AND 512^3 rungs to exactly this while the same
-    programs had compiled fine hours earlier.  Only retry on those
-    signatures; real compile errors (OOM, unsupported ops) re-raise
-    immediately."""
+    programs had compiled fine hours earlier.
+
+    CAVEAT (ADVICE r4): oversized graphs crash the helper
+    DETERMINISTICALLY with the same "HTTP 500" signature, so the
+    signature alone cannot distinguish transient congestion from a
+    too-big program.  To cap the cost of retrying a deterministic
+    failure, the FIRST retry is cheap (5 s); only the later retries pay
+    the long settle sleep.  Other compile errors (OOM, unsupported ops)
+    re-raise immediately."""
     last = None
     for i in range(attempts):
         try:
@@ -181,8 +207,81 @@ def _with_retries(fn, attempts=3, settle_s=45.0):
             if not transient or i == attempts - 1:
                 raise
             last = e
-            time.sleep(settle_s)
+            time.sleep(5.0 if i == 0 else settle_s)
     raise last  # unreachable
+
+
+class _Bench:
+    """Incremental-emission bench state (VERDICT r4 item 1).
+
+    ``emit()`` prints the full JSON document as one stdout line; it is
+    called after the headline and after every subsequent rung, so the
+    newest complete artifact is always the LAST stdout line and a driver
+    timeout only truncates tail rungs."""
+
+    def __init__(self):
+        self.t0 = time.time()
+        self.budget_s = float(os.environ.get("BENCH_BUDGET_S", "1500"))
+        self.skip_env = {s for s in
+                         os.environ.get("BENCH_SKIP", "").split(",") if s}
+        self.aux = {}
+        self.errors = {}
+        self.skipped = {}
+        self.step_s = None
+        self.vs_baseline = None
+
+    def elapsed(self):
+        return time.time() - self.t0
+
+    def remaining(self):
+        return self.budget_s - self.elapsed()
+
+    def rung(self, name, est_cost_s, fn):
+        """Run one optional rung under the budget; emit afterwards."""
+        if name in self.skip_env:
+            self.skipped[name] = {"reason": "BENCH_SKIP env"}
+            self.emit()
+            return
+        if self.remaining() < est_cost_s:
+            self.skipped[name] = {
+                "est_cost_s": est_cost_s,
+                "remaining_s": round(self.remaining(), 1),
+            }
+            _note(f"SKIP {name}: est {est_cost_s}s > "
+                  f"remaining {self.remaining():.0f}s")
+            self.emit()
+            return
+        _note(f"rung {name} (est {est_cost_s}s, "
+              f"remaining {self.remaining():.0f}s)")
+        try:
+            fn()
+        except Exception as e:  # noqa: BLE001
+            self.errors[name] = f"{type(e).__name__}: {e}"[:300]
+            _note(f"rung {name} FAILED: {self.errors[name]}")
+        self.emit()
+
+    def emit(self):
+        doc = {
+            "metric": ("fwd+bwd steps/sec @ 256^3 vol, 512^2 img "
+                       "(exact reference-semantics renderer)"),
+            "value": (round(1.0 / self.step_s, 4)
+                      if self.step_s else None),
+            "unit": "steps/s",
+            "vs_baseline": (round(self.vs_baseline, 2)
+                            if self.vs_baseline else None),
+            "aux": {
+                "vs_baseline_note": (
+                    "like-for-like: the same parity renderer on 1 CPU "
+                    "core, 3-point power-law fit "
+                    "(BASELINE_MEASURED.json)"),
+                **self.aux,
+                "skipped": self.skipped or None,
+                "errors": self.errors or None,
+                "bench_elapsed_s": round(self.elapsed(), 1),
+                "bench_budget_s": self.budget_s,
+            },
+        }
+        print(json.dumps(doc), flush=True)
 
 
 def main():
@@ -193,12 +292,11 @@ def main():
                                  render_nondiff_strips)
     from differender_tpu.transfer import get_tf
 
+    B = _Bench()
     key = jax.random.PRNGKey(0)
     vol_noise = jax.random.uniform(key, (VOL,) * 3, jnp.float32) * 0.5
-    vol_phantom = jnp.asarray(_phantom(VOL))
     tf = jnp.asarray(np.asarray(get_tf("tf1", TF_RES)))
     lf0 = np.array([1.2, 0.8, 2.0], np.float32)
-    errors = {}
 
     def make(cfg, mode, sr=SR, render_fn=None):
         rfn = render if render_fn is None else render_fn
@@ -239,6 +337,7 @@ def main():
     # 4.69-4.73 s, r4_sorted_march_results.jsonl).
     cfg_analytic = cfg_grad.replace(analytic_normals=True, block_size=32)
 
+    # ---- HEADLINE (unconditional; runs first; emitted immediately) ----
     # N=3 individually-timed iterations of one chained run (variance,
     # r2 #7; the chain carries across samples — see _chain_samples).
     # Round 4: the headline rides the SCENE POLICY (choose_diff_renderer),
@@ -256,16 +355,33 @@ def main():
         if headline_policy != "plain":
             step_f = make(cfg_grad, "grad", render_fn=rfn_n)
     except Exception as e:
-        errors["headline_policy"] = f"{type(e).__name__}: {e}"[:300]
+        B.errors["headline_policy"] = f"{type(e).__name__}: {e}"[:300]
+    _note("headline chain (policy: %s)" % headline_policy)
     step_samples = _chain_samples(step_f, n=3, args=(vol_noise, tf))
     step_s = sum(step_samples) / len(step_samples)
-    # Phantom scene rides the SCENE POLICY (round-4 verdict item 2): on
-    # structured content choose_diff_renderer picks the depth-sorted
-    # chunked march (exact — permutation + the same prefix-closed skip),
-    # so each depth group's ERT block skip fires at its own depth instead
-    # of waiting for the deepest ray in the image.
-    phantom_policy = "plain"
+    B.step_s = step_s
+    B.aux["fwd_bwd_s_mean"] = round(step_s, 4)
+    B.aux["fwd_bwd_s_samples"] = [round(s, 4) for s in step_samples]
+    B.aux["grad_config"] = ("march_vjp=sorted block=64 (fwd: ad-equivalent "
+                            "forward graph at block 16)")
+    B.aux["headline_policy"] = headline_policy
     try:
+        # Cached fit only (no CPU hours inside the TPU bench window).
+        cpu = measure_cpu_baseline(allow_measure=B.remaining() > 3600)
+        B.vs_baseline = cpu["cpu_step_s_extrapolated"] / step_s
+    except Exception as e:
+        B.errors["cpu_baseline"] = f"{type(e).__name__}: {e}"[:300]
+    B.emit()  # <- headline artifact exists from this point on
+
+    # ---- Optional rungs, budget-gated, cheapest-information-first ----
+    vol_phantom = jnp.asarray(_phantom(VOL))
+
+    def rung_phantom():
+        # Phantom scene rides the SCENE POLICY (round-4 verdict item 2): on
+        # structured content choose_diff_renderer picks the depth-sorted
+        # chunked march (exact — permutation + the same prefix-closed
+        # skip), so each depth group's ERT block skip fires at its own
+        # depth instead of waiting for the deepest ray in the image.
         def _phantom_rung():
             rfn, pol = choose_diff_renderer(
                 vol_phantom, tf, jnp.asarray(lf0), cfg_grad,
@@ -274,32 +390,40 @@ def main():
                          else make(cfg_grad, "grad", render_fn=rfn))
             return pol, _chain_bench(step_ph_f, n=1,
                                      args=(vol_phantom, tf))
-        phantom_policy, step_phantom_s = _with_retries(_phantom_rung)
-    except Exception as e:
-        errors["phantom_policy"] = f"{type(e).__name__}: {e}"[:300]
-        phantom_policy = "plain"
-        step_phantom_s = _chain_bench(make(cfg_grad, "grad"), n=1,
-                                      args=(vol_phantom, tf))
-    fwd_s = _chain_bench(make(cfg_exact, "fwd"), n=2, args=(vol_noise, tf))
-    try:
-        analytic_step_s = _chain_bench(make(cfg_analytic, "grad"), n=1,
-                                       args=(vol_noise, tf))
-    except Exception as e:
-        analytic_step_s = None
-        errors["analytic_mode"] = f"{type(e).__name__}: {e}"[:300]
+        pol, t = _with_retries(_phantom_rung)
+        B.aux["fwd_bwd_s_phantom_scene"] = round(t, 4)
+        B.aux["phantom_scene_policy"] = pol
 
-    # The reference's flagship inference workload: sampling_rate 16
-    # (`render_nondiff.py:20,27`) — empty-space occupancy jumps + strip
-    # execution for the 800^2 original (round 2: 45.5 s at 512^2, crash at
-    # 800^2).
-    sr16_512_s = sr16_800_s = None
-    try:
-        sr16_512_s = _chain_bench(make(cfg_exact.replace(
+    B.rung("phantom_policy", 240, rung_phantom)
+
+    def rung_fwd():
+        fwd_s = _chain_bench(make(cfg_exact, "fwd"), n=2,
+                             args=(vol_noise, tf))
+        B.aux["fwd_nondiff_mrays_per_s"] = round(IMG * IMG / fwd_s / 1e6, 3)
+        B.aux["fwd_nondiff_s"] = round(fwd_s, 4)
+
+    B.rung("fwd_nondiff", 120, rung_fwd)
+
+    def rung_analytic():
+        t = _chain_bench(make(cfg_analytic, "grad"), n=1,
+                         args=(vol_noise, tf))
+        B.aux["analytic_mode_fwd_bwd_s"] = round(t, 4)
+
+    B.rung("analytic_mode", 180, rung_analytic)
+
+    def rung_sr16_512():
+        # The reference's flagship inference workload: sampling_rate 16
+        # (`render_nondiff.py:20,27`) — empty-space occupancy jumps.
+        t = _chain_bench(make(cfg_exact.replace(
             analytic_normals=True), "fwd", sr=16.0), n=1,
             args=(vol_phantom, tf))
-    except Exception as e:
-        errors["sr16_512"] = f"{type(e).__name__}: {e}"[:300]
-    try:
+        B.aux["ref_workload_sr16_512_s"] = round(t, 4)
+
+    B.rung("sr16_512", 120, rung_sr16_512)
+
+    def rung_sr16_800():
+        # Strip execution for the 800^2 original (round 2: 45.5 s at
+        # 512^2, crash at 800^2 before strips).
         cfg800 = cfg_exact.replace(image_shape=(800, 800),
                                    analytic_normals=True)
 
@@ -310,9 +434,10 @@ def main():
                                         n_strips=4).image
             return c + 1 + img.sum() * 0
 
-        sr16_800_s = _chain_bench(f800, n=1, args=(vol_phantom, tf))
-    except Exception as e:
-        errors["sr16_800"] = f"{type(e).__name__}: {e}"[:300]
+        t = _chain_bench(f800, n=1, args=(vol_phantom, tf))
+        B.aux["ref_workload_sr16_800_s"] = round(t, 4)
+
+    B.rung("sr16_800", 180, rung_sr16_800)
 
     # shear-warp fast path (slab-aligned quadrature, all-MXU resampling) —
     # reported SEPARATELY from the headline with its measured fidelity
@@ -339,80 +464,79 @@ def main():
                 return c + 1 + img.sum() * 0
         return f
 
-    try:
+    def rung_shearwarp():
         sw_fwd_s = _chain_bench(make_sw("fwd"), n=2, args=(vol_noise, tf))
         sw_step_s = _chain_bench(make_sw("grad"), n=2, args=(vol_noise, tf))
-        sw_step_phantom_s = _chain_bench(make_sw("grad"), n=2,
-                                         args=(vol_phantom, tf))
-    except Exception as e:
-        sw_fwd_s = sw_step_s = sw_step_phantom_s = None
-        errors["shearwarp"] = f"{type(e).__name__}: {e}"[:300]
+        sw_step_ph = _chain_bench(make_sw("grad"), n=2,
+                                  args=(vol_phantom, tf))
+        B.aux["shearwarp_fwd_s"] = round(sw_fwd_s, 4)
+        B.aux["shearwarp_fwd_bwd_s"] = round(sw_step_s, 4)
+        B.aux["shearwarp_fwd_bwd_s_phantom_scene"] = round(sw_step_ph, 4)
+        B.aux["shearwarp_steps_per_s"] = round(1.0 / sw_step_s, 4)
 
-    # Shear-warp fidelity vs the exact render on both scenes (SSIM fixed in
-    # round 3 — losses.ssim previously emitted >1 on TPU).
-    fid_out = {}
-    if sw_step_s is not None:
-        try:
-            from differender_tpu.losses import ssim as _ssim
+    B.rung("shearwarp", 240, rung_shearwarp)
 
-            def fid(v):
-                lf = jnp.asarray(lf0)
-                exact_img = np.asarray(jax.jit(
-                    lambda v_, t, l: render(v_, t, l, cfg_exact,
-                                            sampling_rate=SR).image
-                )(v, tf, lf))
-                sw_img = np.asarray(jax.jit(
-                    lambda v_, t, l: render_fast(v_, t, l, cfg_exact,
-                                                 intermediate=576,
-                                                 planes_per_voxel=2.0).image
-                )(v, tf, lf))
-                ss = float(_ssim(
-                    jnp.asarray(np.moveaxis(sw_img, -1, 0)),
-                    jnp.asarray(np.moveaxis(exact_img, -1, 0))))
-                return ss, float(np.abs(sw_img - exact_img).max())
+    def rung_fidelity():
+        # Shear-warp fidelity vs the exact render on both scenes (SSIM
+        # fixed in round 3 — losses.ssim previously emitted >1 on TPU).
+        from differender_tpu.losses import ssim as _ssim
 
-            for scene, v in (("noise", vol_noise), ("phantom", vol_phantom)):
-                ss, li = fid(v)
-                fid_out[f"shearwarp_ssim_vs_exact_{scene}"] = round(ss, 4)
-                fid_out[f"shearwarp_linf_vs_exact_{scene}"] = round(li, 4)
-                fid_out[f"shearwarp_meets_ssim_gate_{scene}"] = bool(
-                    ss >= 0.9)
-        except Exception as e:
-            errors["fidelity"] = f"{type(e).__name__}: {e}"[:300]
+        def fid(v):
+            lf = jnp.asarray(lf0)
+            exact_img = np.asarray(jax.jit(
+                lambda v_, t, l: render(v_, t, l, cfg_exact,
+                                        sampling_rate=SR).image
+            )(v, tf, lf))
+            sw_img = np.asarray(jax.jit(
+                lambda v_, t, l: render_fast(v_, t, l, cfg_exact,
+                                             intermediate=576,
+                                             planes_per_voxel=2.0).image
+            )(v, tf, lf))
+            ss = float(_ssim(
+                jnp.asarray(np.moveaxis(sw_img, -1, 0)),
+                jnp.asarray(np.moveaxis(exact_img, -1, 0))))
+            return ss, float(np.abs(sw_img - exact_img).max())
 
-    # Shear-warp FIDELITY POLICY (round-4 verdict item 5): the shipped
-    # auto-densify ladder (`fastpath.choose_fast_params`) walks
-    # (intermediate, planes_per_voxel) rungs until the scene passes the
-    # SSIM >= 0.9 gate, else falls back to the exact renderer — so the
-    # artifact records, per scene, either a passing density or an
-    # explicit exact-fallback instead of a silently-failing flag.
-    sw_policy = {}
-    try:
+        for scene, v in (("noise", vol_noise), ("phantom", vol_phantom)):
+            ss, li = fid(v)
+            B.aux[f"shearwarp_ssim_vs_exact_{scene}"] = round(ss, 4)
+            B.aux[f"shearwarp_linf_vs_exact_{scene}"] = round(li, 4)
+            B.aux[f"shearwarp_meets_ssim_gate_{scene}"] = bool(ss >= 0.9)
+
+    B.rung("fidelity", 180, rung_fidelity)
+
+    def rung_sw_policy():
+        # Shear-warp FIDELITY POLICY (round-4 verdict item 5): the shipped
+        # auto-densify ladder (`fastpath.choose_fast_params`) walks
+        # (intermediate, planes_per_voxel) rungs until the scene passes
+        # the SSIM >= 0.9 gate, else falls back to the exact renderer —
+        # so the artifact records, per scene, either a passing density or
+        # an explicit exact-fallback instead of a silently-failing flag.
         from differender_tpu.fastpath import choose_fast_params
         for scene, v in (("noise", vol_noise), ("phantom", vol_phantom)):
             info = choose_fast_params(v, tf, jnp.asarray(lf0), cfg_exact)
-            sw_policy[f"shearwarp_policy_{scene}"] = {
+            B.aux[f"shearwarp_policy_{scene}"] = {
                 "renderer": info["renderer"],
                 "intermediate": info["intermediate"],
                 "planes_per_voxel": info["planes_per_voxel"],
                 "ssim": info["ssim"],
                 "rungs_tried": len(info["trace"]),
             }
-    except Exception as e:
-        errors["shearwarp_policy"] = f"{type(e).__name__}: {e}"[:300]
 
-    # Roofline context (the honest MFU analogue for a gather-bound
-    # workload): the march forward is bounded by the measured 64-wide-row
-    # gather price (~10.5 ns/idx, experiments/row_scatter_results.jsonl
-    # gather_grid W=64 rows) and the sorted backward by the measured
-    # sorted-window placement price (~29.4 ns/row,
-    # r4_full_block_sorted_windows).  The floor charges one row gather per
-    # supercell step-group on the forward and one placement row per group
-    # on the backward (remat saves the march residuals, so the backward
-    # re-issues NO gathers).  "pct_of_attainable" divides the ERT-aware
-    # floor by the measured step time.
-    roofline = None
-    try:
+    B.rung("shearwarp_policy", 240, rung_sw_policy)
+
+    def rung_roofline():
+        # Roofline context (the honest MFU analogue for a gather-bound
+        # workload): the march forward is bounded by the measured
+        # 64-wide-row gather price (~10.5 ns/idx,
+        # experiments/row_scatter_results.jsonl gather_grid W=64 rows) and
+        # the sorted backward by the measured sorted-window placement
+        # price (~29.4 ns/row, r4_full_block_sorted_windows).  The floor
+        # charges one row gather per supercell step-group on the forward
+        # and one placement row per group on the backward (remat saves
+        # the march residuals, so the backward re-issues NO gathers).
+        # "pct_of_attainable" divides the ERT-aware floor by the measured
+        # step time.
         from differender_tpu.geometry import make_rays
         G = cfg_grad.supercell_group(SR)
         GATHER_NS, PLACE_NS = 10.5, 29.4
@@ -431,7 +555,7 @@ def main():
         eff = float(_ns_ert(vol_noise, tf, jnp.asarray(lf0)))
         floor_nom = nominal / G * (GATHER_NS + PLACE_NS) * 1e-9
         floor_ert = eff / G * (GATHER_NS + PLACE_NS) * 1e-9
-        roofline = {
+        B.aux["roofline"] = {
             "gather_floor_ns_per_row": GATHER_NS,
             "sorted_place_floor_ns_per_row": PLACE_NS,
             "supercell_group": G,
@@ -439,28 +563,20 @@ def main():
             "marched_samples_ert": int(eff),
             "fwd_bwd_floor_s_nominal": round(floor_nom, 4),
             "fwd_bwd_floor_s_ert": round(floor_ert, 4),
-            "fwd_bwd_pct_of_attainable": round(100.0 * floor_ert / step_s,
-                                               1),
+            "fwd_bwd_pct_of_attainable": round(
+                100.0 * floor_ert / B.step_s, 1),
         }
-    except Exception as e:
-        errors["roofline"] = f"{type(e).__name__}: {e}"[:300]
 
-    try:
-        cpu = measure_cpu_baseline()
-        vs_baseline = cpu["cpu_step_s_extrapolated"] / step_s
-    except Exception as e:
-        vs_baseline = None
-        errors["cpu_baseline"] = f"{type(e).__name__}: {e}"[:300]
+    B.rung("roofline", 120, rung_roofline)
 
-    # 512^3 gradient rung (round 4): the auto-selected blockwise split
-    # backward — the only form whose programs all fit the remote compile
-    # budget at this scale (BASELINE.md round-4 section).  Host-level
-    # loop, so timed directly (still chained: the carry perturbs the
-    # camera between steps).  Placed LAST: it allocates a 512 MB volume
-    # plus multi-GB march tables, and a failure here must not cost the
-    # headline numbers.
-    bw512 = None
-    try:
+    def rung_bw512():
+        # 512^3 gradient rung (round 4): the auto-selected blockwise split
+        # backward — the only form whose programs all fit the remote
+        # compile budget at this scale (BASELINE.md round-4 section).
+        # Host-level loop, so timed directly (still chained: the carry
+        # perturbs the camera between steps).  Placed LAST: it allocates a
+        # 512 MB volume plus multi-GB march tables, and a failure here
+        # must not cost the headline numbers (they are already emitted).
         from differender_tpu.render import value_and_grad_render
         cfg512 = RenderConfig(volume_shape=(512,) * 3,
                               image_shape=(IMG, IMG),
@@ -473,6 +589,11 @@ def main():
         def _loss512(out):
             return jnp.mean(out.image ** 2)
 
+        # ADVICE r4: time only the SUCCESSFUL attempt (the retry wrapper
+        # sits outside the timer) and record how many retries it took.
+        retries = {"n": 0}
+        cold_s = {"v": None}
+
         def _step512(c):
             lf = jnp.asarray(lf0 + np.float32(c) * 1e-6)
             loss, (dv, dt) = value_and_grad_render(
@@ -480,64 +601,32 @@ def main():
             jax.block_until_ready(dv)
             return c + 1.0 + float(loss) * 0.0
 
-        t0 = time.time()
-        c512 = _with_retries(lambda: _step512(0.0), settle_s=60.0)
-        bw512_cold = time.time() - t0
+        def _cold():
+            retries["n"] += 1
+            t0 = time.time()
+            c = _step512(0.0)
+            cold_s["v"] = time.time() - t0
+            return c
+
+        c512 = _with_retries(_cold, settle_s=60.0)
         warm = []
         for _ in range(2):
             t0 = time.time()
             c512 = _step512(c512)
             warm.append(time.time() - t0)
-        bw512 = {
+        B.aux["fwd_bwd_512cubed_blockwise"] = {
             "fwd_bwd_s_warm": [round(s, 3) for s in warm],
-            "fwd_bwd_s_cold": round(bw512_cold, 1),
+            "fwd_bwd_s_cold": round(cold_s["v"], 1),
+            "cold_attempts": retries["n"],
             "strategy": "blockwise split sorted (auto-selected by "
                         "config.use_blockwise_grad)",
             "monolithic_ad_s_r3": 9.82,
         }
         del vol512
-    except Exception as e:
-        errors["bw512"] = f"{type(e).__name__}: {e}"[:300]
 
-    print(json.dumps({
-        "metric": ("fwd+bwd steps/sec @ 256^3 vol, 512^2 img "
-                   "(exact reference-semantics renderer)"),
-        "value": round(1.0 / step_s, 4),
-        "unit": "steps/s",
-        "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
-        "aux": {
-            "vs_baseline_note": (
-                "like-for-like: the same parity renderer on 1 CPU core, "
-                "3-point power-law fit (BASELINE_MEASURED.json)"),
-            "fwd_bwd_s_mean": round(step_s, 4),
-            "fwd_bwd_s_samples": [round(s, 4) for s in step_samples],
-            "grad_config": "march_vjp=sorted block=64 (fwd: ad-equivalent "
-                           "forward graph at block 16)",
-            "headline_policy": headline_policy,
-            "fwd_bwd_s_phantom_scene": round(step_phantom_s, 4),
-            "phantom_scene_policy": phantom_policy,
-            "fwd_nondiff_mrays_per_s": round(IMG * IMG / fwd_s / 1e6, 3),
-            "fwd_nondiff_s": round(fwd_s, 4),
-            "analytic_mode_fwd_bwd_s": (round(analytic_step_s, 4)
-                                        if analytic_step_s else None),
-            "ref_workload_sr16_512_s": (round(sr16_512_s, 4)
-                                        if sr16_512_s else None),
-            "ref_workload_sr16_800_s": (round(sr16_800_s, 4)
-                                        if sr16_800_s else None),
-            "shearwarp_fwd_s": round(sw_fwd_s, 4) if sw_fwd_s else None,
-            "shearwarp_fwd_bwd_s": (round(sw_step_s, 4)
-                                    if sw_step_s else None),
-            "shearwarp_fwd_bwd_s_phantom_scene": (
-                round(sw_step_phantom_s, 4) if sw_step_phantom_s else None),
-            "shearwarp_steps_per_s": (round(1.0 / sw_step_s, 4)
-                                      if sw_step_s else None),
-            **fid_out,
-            **sw_policy,
-            "fwd_bwd_512cubed_blockwise": bw512,
-            "roofline": roofline,
-            "errors": errors or None,
-        },
-    }))
+    B.rung("bw512", 500, rung_bw512)
+
+    B.emit()
 
 
 if __name__ == "__main__":

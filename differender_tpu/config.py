@@ -146,9 +146,10 @@ class RenderConfig:
                                      #             for any base distribution
                                      #             (runtime sub-box passes,
                                      #             no clamping); volume/TF
-                                     #             grads exact, look_from
-                                     #             grads INCOMPLETE like
-                                     #             "tiled".  Requires
+                                     #             grads exact; look_from
+                                     #             grads exact too when
+                                     #             camera_grads=True (r5),
+                                     #             zero otherwise.  Requires
                                      #             march_table super64 or
                                      #             super64s2.  KNOWN LIMIT:
                                      #             at 512^3-class volumes
@@ -185,12 +186,18 @@ class RenderConfig:
     camera_grads: bool = False       # declare intent to jax.grad w.r.t.
                                      # look_from (beyond the reference,
                                      # which never differentiates the
-                                     # camera).  Camera grads flow ONLY on
-                                     # march_vjp='ad'; with 'tiled'/'sorted'
-                                     # the hand-VJPs drop sample-position
-                                     # cotangents, so render() REFUSES the
-                                     # combination instead of returning
-                                     # silently-wrong camera grads.
+                                     # camera).  Camera grads flow on
+                                     # march_vjp='ad' AND (round 5)
+                                     # 'sorted' — the sorted VJPs emit
+                                     # exact sample-position cotangents
+                                     # when this flag is set, at the cost
+                                     # of one extra row gather per block
+                                     # backward.  'tiled' still drops the
+                                     # position terms, so render() REFUSES
+                                     # tiled+camera_grads instead of
+                                     # returning silently-wrong grads; the
+                                     # blockwise 512^3 backward likewise
+                                     # refuses (host-built rays).
     occupancy_skip: bool = True      # nondiff path: macrocell distance-
                                      # field empty-space jumps (semantics-
                                      # exact — skipped samples provably sit
@@ -321,9 +328,15 @@ class RenderConfig:
         auto-resolution already picks it exactly for 512^3-class parity
         volumes) plus a >= 2^26-voxel floor so small stride-2 test
         configs keep the cheaper monolithic path.
+
+        ``camera_grads`` opts OUT: the blockwise backward builds rays
+        eagerly on the host and cannot return a look_from gradient, so
+        such configs keep the monolithic path (which may hit the compile
+        limit at 512^3 — camera grads at that scale are an open corner).
         """
         import numpy as _np
         return (self.march_vjp == "sorted"
+                and not self.camera_grads
                 and self.resolved_march_table() == "super64s2"
                 and int(_np.prod(self.volume_shape)) >= (1 << 26))
 

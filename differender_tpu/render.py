@@ -245,7 +245,8 @@ def _block_sample_spec(config: RenderConfig, kind: str, super_group: int,
                       check=config.vjp_check,
                       box_rows=config.vjp_box_rows,
                       window_rows=config.vjp_window_rows,
-                      stride2=kind == "super64s2")
+                      stride2=kind == "super64s2",
+                      camera_grads=config.camera_grads and sorted_mode)
 
 
 def _eval_block_soa(vol_op, tf_op, origin, soa: _RaySoA, steps, sampling_rate,
@@ -441,14 +442,16 @@ def march_diff(
         raise ValueError(
             "march_vjp='sorted' requires march_table super64 or "
             f"super64s2; got {kind}")
-    if config.camera_grads and (tiled or sorted_vjp):
-        # The hand-written VJPs return ZERO sample-position cotangents, so
-        # a jax.grad w.r.t. look_from through them is silently wrong (the
-        # reference has no camera grads at all; ours exist only on the AD
-        # path).  Fail loudly instead of dropping terms.
+    if config.camera_grads and tiled:
+        # The tiled hand-VJP returns ZERO sample-position cotangents, so a
+        # jax.grad w.r.t. look_from through it is silently wrong (the
+        # reference has no camera grads at all).  Fail loudly instead of
+        # dropping terms.  Round 5: the SORTED VJPs now produce exact
+        # position cotangents when camera_grads=True
+        # (sampling._position_cotangents), so only 'tiled' refuses.
         raise ValueError(
-            "camera_grads=True requires march_vjp='ad' (the 'tiled'/"
-            "'sorted' hand-VJPs drop the sample-position cotangent terms); "
+            "camera_grads=True requires march_vjp='ad' or 'sorted' (the "
+            "'tiled' hand-VJP drops the sample-position cotangent terms); "
             f"got march_vjp={config.march_vjp!r}")
     if config.compact_after and tiled:
         raise ValueError(
@@ -1135,7 +1138,8 @@ def choose_diff_renderer(volume, tf, look_from, config: RenderConfig,
                          sampling_rate: Optional[float] = None,
                          chunks: int = 4, threshold: float = 0.25,
                          alive_threshold: float = 0.125,
-                         compact_after: int = 2):
+                         compact_after: int = 2,
+                         probe: str = "heuristic"):
     """Scene-adaptive choice of the differentiable renderer (host-level).
 
     The diff march's ERT block skip is global, so one deep ray keeps
@@ -1165,7 +1169,24 @@ def choose_diff_renderer(volume, tf, look_from, config: RenderConfig,
     ``"depth_sorted"`` or ``"plain"``.  Call it OUTSIDE jit (it syncs
     scalars to the host); in a training loop, re-choose when the scene
     changes materially, not every step.
+
+    ``probe``: ``"heuristic"`` (default) decides from the 128^2 alive
+    fraction + depth-spread statistics with thresholds TUNED AT THE
+    256^3/512^2 HEADLINE on two scenes — cheap (one probe render), but
+    unguarded at very different volume sizes/TFs (a misroute costs up to
+    ~2x).  ``"timed"`` instead times ONE fwd+bwd step of each candidate
+    at the FULL config and returns the measured winner — scale-robust by
+    construction, at the cost of compiling and running all three
+    candidates once (minutes cold; amortized in any real training loop,
+    and never wrong by more than measurement noise).
     """
+    if probe not in ("heuristic", "timed"):
+        raise ValueError(f"probe must be 'heuristic' or 'timed'; "
+                         f"got {probe!r}")
+    if probe == "timed":
+        return _choose_diff_renderer_timed(volume, tf, look_from, config,
+                                           sampling_rate, chunks,
+                                           compact_after)
     sr = config.sampling_rate if sampling_rate is None else sampling_rate
     vol32 = jnp.asarray(volume, jnp.float32)
     tf32 = jnp.asarray(tf, jnp.float32)
@@ -1202,6 +1223,70 @@ def choose_diff_renderer(volume, tf, look_from, config: RenderConfig,
                                        key=key, chunks=_chunks)
         return fn, "depth_sorted"
     return render, "plain"
+
+
+def _choose_diff_renderer_timed(volume, tf, look_from, config,
+                                sampling_rate, chunks, compact_after):
+    """``choose_diff_renderer(probe="timed")``: measure one fwd+bwd step
+    of each exact candidate at the full config; return the fastest.
+
+    The chained-carry protocol (CLAUDE.md rule 4) perturbs look_from
+    between the warmup and the timed step so no execution repeats.  Every
+    candidate computes the same gradients (exactness tests in
+    tests/test_render.py / test_grads.py), so timing is the only
+    criterion; ties go to the simpler renderer (candidate order)."""
+    import time as _time
+    sr = config.sampling_rate if sampling_rate is None else sampling_rate
+    vol32 = jnp.asarray(volume, jnp.float32)
+    tf32 = jnp.asarray(tf, jnp.float32)
+    lf32 = jnp.asarray(look_from, jnp.float32)
+    n_blocks = -(-config.diff_march_steps(float(sr)) // config.block_size)
+
+    candidates = [("plain", render)]
+    if 0 < compact_after < n_blocks:
+        # Size the prefix bucket from the alive probe (same rule as the
+        # heuristic path).
+        import math
+        probe_cfg = config.replace(image_shape=(128, 128), compact_after=0)
+        alive = float(_alive_fraction(
+            vol32, tf32, lf32, probe_cfg, float(sr),
+            compact_after * config.block_size))
+        k = min(5, max(2, int(-math.log2(max(alive, 1e-6) * 1.5))))
+        cp = 2.0 ** -k
+
+        def fn_c(volume, tf, look_from, config, sampling_rate=None,
+                 key=None, _ca=compact_after, _cp=cp):
+            return render(volume, tf, look_from,
+                          config.replace(compact_after=_ca,
+                                         compact_prefix=_cp),
+                          sampling_rate=sampling_rate, key=key)
+        candidates.append(("compacted", fn_c))
+
+    def fn_d(volume, tf, look_from, config, sampling_rate=None, key=None,
+             _chunks=chunks):
+        return render_depth_sorted(volume, tf, look_from, config,
+                                   sampling_rate=sampling_rate,
+                                   key=key, chunks=_chunks)
+    candidates.append(("depth_sorted", fn_d))
+
+    best = None
+    for name, fn in candidates:
+        def step(c, _fn=fn):
+            lf = lf32 + c * jnp.float32(1e-6)
+            g = jax.grad(lambda v, t: jnp.mean(
+                _fn(v, t, lf, config, sampling_rate=sr).image ** 2),
+                argnums=(0, 1))(vol32, tf32)
+            return c + 1.0 + g[0].ravel()[0] * 0.0
+        # depth_sorted is a host-level multi-program driver: no outer jit.
+        runner = step if name == "depth_sorted" else jax.jit(step)
+        c = jnp.float32(float(runner(jnp.float32(0.0))))    # warmup/compile
+        t0 = _time.time()
+        c = jnp.float32(float(runner(c)))
+        dt = _time.time() - t0
+        if best is None or dt < best[2]:
+            best = (name, fn, dt)
+    name, fn, _dt = best
+    return (fn, name) if name != "plain" else (render, "plain")
 
 
 @jax.jit
@@ -1330,6 +1415,16 @@ def value_and_grad_blockwise(
     if config.march_vjp == "tiled":
         raise ValueError("value_and_grad_blockwise supports march_vjp "
                          "'ad' and 'sorted', not 'tiled'")
+    if config.camera_grads:
+        # Rays are built eagerly on the host (see docstring) and the defer
+        # VJP routes only volume cotangents through its mailbox, so a
+        # look_from gradient cannot flow here.  Refuse loudly — the
+        # monolithic render() path serves camera grads (march_vjp 'ad' or
+        # 'sorted').
+        raise ValueError(
+            "camera_grads=True is unsupported on the blockwise backward; "
+            "use render()/value_and_grad over it (march_vjp='ad' or "
+            "'sorted') for camera gradients")
     kind = config.resolved_march_table()
     if config.march_vjp == "sorted" and kind not in ("super64", "super64s2"):
         # Same constraint as march_diff (render.py:416): with any other

@@ -805,6 +805,14 @@ class SampleSpec(_NamedTuple):
     stride2: bool = False     # sorted VJP over the stride-2 table: keys
                               # are even-base indices kappa with
                               # voxel = 2*kappa + lane offset
+    camera_grads: bool = False  # sorted VJPs: ALSO produce sample-position
+                              # cotangents (d_px/d_py/d_pz -> look_from
+                              # grads via the AD chain outside).  Costs one
+                              # extra row gather per block backward (the
+                              # position VJP re-evaluates the forward
+                              # against the saved table); off by default —
+                              # the reference never differentiates the
+                              # camera (volume_raycaster.py:465,473-476)
 
 
 def _tiled_volume_grad(spec: SampleSpec, bx, by, bz, d_rows, kg):
@@ -1353,10 +1361,11 @@ def sample_block_sorted(spec: SampleSpec, volume, table, px, py, pz):
     Forward = :func:`sample_super_parity` / :func:`sample_super_analytic`
     (grouped in BOTH modes — unlike :func:`sample_block_tiled`, whose
     parity forward is ungrouped); ``volume`` is the cotangent target only.
-    Backward places d_volume via :func:`_sorted_volume_grad` and returns
-    ZERO cotangents for table and positions (no camera gradients on this
-    path — parity with the reference, which never differentiates
-    ``compute_entry_exit``).  Callers pass ``table = stop_gradient(
+    Backward places d_volume via :func:`_sorted_volume_grad`.  The table
+    cotangent is always zero; sample-position cotangents are zero by
+    default (parity with the reference, which never differentiates
+    ``compute_entry_exit``) and EXACT when ``spec.camera_grads`` — see
+    :func:`_position_cotangents`.  Callers pass ``table = stop_gradient(
     supercell_table(volume))``.
     """
     if spec.parity:
@@ -1366,13 +1375,39 @@ def sample_block_sorted(spec: SampleSpec, volume, table, px, py, pz):
                                  spec.delta, group=spec.group)
 
 
+def _position_cotangents(spec: SampleSpec, table, px, py, pz, cot):
+    """Sample-position cotangents of the supercell forward eval.
+
+    Differentiates the SAME forward the sorted VJPs run (table
+    stop-gradient'd, so no table transpose/scatter is built) — the
+    position derivative therefore agrees with the march_vjp='ad' path
+    bit-for-bit, including _hat4's subgradient convention.  Re-issues the
+    block's row gather once (the price of camera grads; the volume-grad
+    path still re-issues NO gathers)."""
+    tbl = jax.lax.stop_gradient(table)
+    if spec.stride2:
+        fwd = sample_super2_parity
+    elif spec.parity:
+        fwd = sample_super_parity
+    else:
+        fwd = sample_super_analytic
+    _, pos_vjp = jax.vjp(
+        lambda a, b, c: fwd(tbl, spec.volume_shape, a, b, c,
+                            spec.delta, group=spec.group), px, py, pz)
+    return pos_vjp(cot)
+
+
 def _sample_block_sorted_fwd(spec, volume, table, px, py, pz):
     out = sample_block_sorted(spec, volume, table, px, py, pz)
-    return out, (px, py, pz)
+    res = (table, px, py, pz) if spec.camera_grads else (px, py, pz)
+    return out, res
 
 
 def _sample_block_sorted_bwd(spec, res, cot):
-    px, py, pz = res
+    if spec.camera_grads:
+        table, px, py, pz = res
+    else:
+        table, (px, py, pz) = None, res
     X, Y, Z = spec.volume_shape
     bx, by, bz, d_rows = _super_bwd_rows(
         spec.volume_shape, spec.delta, spec.parity, spec.group,
@@ -1380,6 +1415,10 @@ def _sample_block_sorted_bwd(spec, res, cot):
     base = ((bx * Y + by) * Z + bz).reshape(d_rows.shape[0])
     d_volume = _sorted_volume_grad(spec, base, d_rows)
     zero_tbl = jnp.zeros((X * Y * Z, 64), jnp.float32)
+    if spec.camera_grads:
+        d_px, d_py, d_pz = _position_cotangents(spec, table, px, py, pz,
+                                                cot)
+        return d_volume, zero_tbl, d_px, d_py, d_pz
     zp = jnp.zeros_like(px)
     return d_volume, zero_tbl, zp, zp, zp
 
@@ -1400,11 +1439,15 @@ def sample_block_sorted2(spec: SampleSpec, volume, table, px, py, pz):
 
 def _sample_block_sorted2_fwd(spec, volume, table, px, py, pz):
     out = sample_block_sorted2(spec, volume, table, px, py, pz)
-    return out, (px, py, pz)
+    res = (table, px, py, pz) if spec.camera_grads else (px, py, pz)
+    return out, res
 
 
 def _sample_block_sorted2_bwd(spec, res, cot):
-    px, py, pz = res
+    if spec.camera_grads:
+        table, px, py, pz = res
+    else:
+        table, (px, py, pz) = None, res
     X, Y, Z = spec.volume_shape
     bx, by, bz, d_rows = _super_bwd_rows(
         spec.volume_shape, spec.delta, True, spec.group,
@@ -1414,6 +1457,10 @@ def _sample_block_sorted2_bwd(spec, res, cot):
              + bz // 2).reshape(d_rows.shape[0])
     d_volume = _sorted_volume_grad(spec, kappa, d_rows)
     zero_tbl = jnp.zeros((X * Y * Z // 8, 64), jnp.float32)
+    if spec.camera_grads:
+        d_px, d_py, d_pz = _position_cotangents(spec, table, px, py, pz,
+                                                cot)
+        return d_volume, zero_tbl, d_px, d_py, d_pz
     zp = jnp.zeros_like(px)
     return d_volume, zero_tbl, zp, zp, zp
 

@@ -122,7 +122,8 @@ class TorchRaycaster(torch.nn.Module if torch is not None else object):
             implicit RNG; here randomness is an explicit replayable key).
         camera_grads: also return a ``look_from`` gradient (beyond the
             reference, which always passes ``None``); needs
-            ``march_vjp="ad"`` (default).
+            ``march_vjp="ad"`` (default) or ``"sorted"`` (round 5: the
+            sorted VJPs emit exact position cotangents when asked).
     """
 
     def __init__(self, volume_shape, output_shape, tf_shape: int,
@@ -132,14 +133,20 @@ class TorchRaycaster(torch.nn.Module if torch is not None else object):
                  camera_grads: bool = False, **config_kwargs):
         _require_torch()
         super().__init__()
+        if camera_grads and config_kwargs.get("march_vjp") == "sorted":
+            # The sorted VJPs emit position cotangents only when the
+            # config declares the intent (SampleSpec.camera_grads).
+            config_kwargs.setdefault("camera_grads", True)
         self._rc = Raycaster(volume_shape, output_shape, tf_shape,
                              sampling_rate=sampling_rate, jitter=jitter,
                              max_samples=max_samples, fov=fov, near=near,
                              far=far, seed=seed, **config_kwargs)
-        if camera_grads and self._rc.config.march_vjp != "ad":
+        if camera_grads and self._rc.config.march_vjp not in ("ad",
+                                                              "sorted"):
             raise ValueError(
-                "camera_grads=True needs march_vjp='ad' (the hand-written "
-                f"VJPs drop camera terms); got {self._rc.config.march_vjp!r}")
+                "camera_grads=True needs march_vjp='ad' or 'sorted' (the "
+                "'tiled' VJP drops camera terms); got "
+                f"{self._rc.config.march_vjp!r}")
         self.camera_grads = camera_grads
         self.jitter = jitter
         self.sampling_rate = sampling_rate

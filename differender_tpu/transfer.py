@@ -102,24 +102,46 @@ def tex_from_pts(pts, res: int) -> Array:
 
 
 def random_peaks_tf(key: Array, res: int, max_num_peaks: int = 2) -> Array:
-    """Random transfer function built from triangular peaks — a functional
-    analogue of ``torchvtk.utils.TFGenerator(max_num_peaks=2)``
-    (`/root/reference/differender/utils/utils.py:74-77`)."""
-    k1, k2, k3, k4, k5 = jax.random.split(key, 5)
-    n_peaks = max_num_peaks
-    centers = jax.random.uniform(k1, (n_peaks,), minval=0.1, maxval=0.9)
-    widths = jax.random.uniform(k2, (n_peaks,), minval=0.02, maxval=0.15)
-    heights = jax.random.uniform(k3, (n_peaks,), minval=0.2, maxval=1.0)
-    colors = jax.random.uniform(k4, (n_peaks, 3), minval=0.1, maxval=1.0)
-    use = (jnp.arange(n_peaks) < 1 + jax.random.randint(k5, (), 0, n_peaks))
+    """Random transfer function built from TRAPEZOIDAL peaks rasterized
+    through :func:`tex_from_pts` — mirroring the structure of
+    ``torchvtk.utils.TFGenerator(max_num_peaks=2)``
+    (`/root/reference/differender/utils/utils.py:74-77`), whose
+    ``generate()`` emits per-peak control points (a flat-top trapezoid
+    per peak, like the tf1–tf5 presets' 4-point plateaus) that
+    ``tex_from_pts`` then rasterizes.  torchvtk itself is not available
+    here, so the peak-parameter DISTRIBUTIONS below (count uniform in
+    1..max, center/width/height/color ranges) are a documented analogue,
+    not a bit-faithful port; the pipeline (peaks -> control points ->
+    piecewise-linear rasterization) is the same.
+    """
+    k1, k2, k3, k4, k5, k6 = jax.random.split(key, 6)
+    n_peaks = int(jax.random.randint(k1, (), 1, max_num_peaks + 1))
+    centers = np.sort(np.asarray(jax.random.uniform(
+        k2, (n_peaks,), minval=0.08, maxval=0.85)))
+    widths = np.asarray(jax.random.uniform(
+        k3, (n_peaks,), minval=0.02, maxval=0.15))
+    # Flat-top fraction of the half-width (0 -> triangle, 1 -> box).
+    top_frac = np.asarray(jax.random.uniform(
+        k4, (n_peaks,), minval=0.1, maxval=0.9))
+    heights = np.asarray(jax.random.uniform(
+        k5, (n_peaks,), minval=0.15, maxval=0.95))
+    colors = np.asarray(jax.random.uniform(
+        k6, (n_peaks, 3), minval=0.05, maxval=1.0))
 
-    xs = jnp.linspace(0.0, 1.0, res)[:, None]                    # (res, 1)
-    tri = jnp.maximum(0.0, 1.0 - jnp.abs(xs - centers) / widths)  # (res, P)
-    tri = tri * use
-    alpha = jnp.max(tri * heights, axis=-1)
-    w = tri / jnp.maximum(jnp.sum(tri, axis=-1, keepdims=True), 1e-8)
-    rgb = w @ colors
-    return jnp.concatenate([rgb, alpha[:, None]], axis=-1).astype(jnp.float32)
+    pts = [[0.0, 0.0, 0.0, 0.0, 0.0]]
+    prev_end = 0.0
+    for c, w, tfr, h, (r, g, b) in zip(centers, widths, top_frac, heights,
+                                       colors):
+        t = w * tfr
+        lo, hi = max(c - w, prev_end + 1e-4), min(c + w, 1.0 - 1e-4)
+        ti, to = max(c - t, lo), min(c + t, hi)
+        if not (lo < ti <= to < hi):
+            continue                     # peak swallowed by its neighbor
+        pts += [[lo, r, g, b, 0.0], [ti, r, g, b, h],
+                [to, r, g, b, h], [hi, r, g, b, 0.0]]
+        prev_end = hi
+    pts += [[1.0, 0.0, 0.0, 0.0, 0.0]]
+    return tex_from_pts(np.asarray(pts, np.float32), res)
 
 
 def get_tf(tf_id: str, res: int, key: Array | None = None) -> Array:

@@ -87,10 +87,12 @@ try:
     jax.block_until_ready(g)
     first = time.time() - t0
     samples = []
-    # Carry a changing scalar into look_from each iteration so no two
-    # executions are identical (the relay caches repeats; rule 4).
+    # Carry the returned scalar itself into look_from each iteration
+    # (ADVICE r4: the carry VALUE flows from the prior step — same honest
+    # chain as bench.py — computed before the timer starts; rule 4).
+    c = jnp.float32(0.0)
     for i in range(1, 3):
-        c = jnp.float32(i) + g[0].ravel()[0] * 0
+        c = jnp.float32(float(c) + 1.0 + float(g[0].ravel()[0]) * 0.0)
         t0 = time.time()
         g = grad_fn(vol, tf, c)
         jax.block_until_ready(g)

@@ -139,18 +139,18 @@ def test_camera_grads_exist(sphere_volume):
     assert float(jnp.abs(g).max()) > 0.0
 
 
-def test_camera_grads_flag_refuses_hand_vjps(sphere_volume):
-    """camera_grads=True + a hand-written march VJP would silently return
-    zero sample-position cotangents — render must refuse loudly."""
+def test_camera_grads_flag_refuses_tiled_vjp(sphere_volume):
+    """camera_grads=True + the tiled VJP would silently return zero
+    sample-position cotangents — render must refuse loudly.  ('sorted'
+    accepts since round 5: exact position cotangents on request.)"""
     tf = jnp.asarray(get_tf("tf5", 16))
     vol = jnp.asarray(sphere_volume)
-    for vjp in ("sorted", "tiled"):
-        cfg = RenderConfig(volume_shape=sphere_volume.shape,
-                           image_shape=(16, 16), max_samples=32,
-                           block_size=8, march_vjp=vjp, camera_grads=True)
-        with pytest.raises(ValueError, match="camera_grads"):
-            render(vol, tf, jnp.array([1.0, 0.7, 2.2]), cfg,
-                   sampling_rate=0.5)
+    cfg = RenderConfig(volume_shape=sphere_volume.shape,
+                       image_shape=(16, 16), max_samples=32,
+                       block_size=8, march_vjp="tiled", camera_grads=True)
+    with pytest.raises(ValueError, match="camera_grads"):
+        render(vol, tf, jnp.array([1.0, 0.7, 2.2]), cfg,
+               sampling_rate=0.5)
     # The declared-intent combination works: ad + camera_grads=True.
     cfg = RenderConfig(volume_shape=sphere_volume.shape, image_shape=(6, 6),
                        max_samples=32, block_size=8, camera_grads=True)
@@ -158,6 +158,99 @@ def test_camera_grads_flag_refuses_hand_vjps(sphere_volume):
         render(vol, tf, lf, cfg, sampling_rate=0.5).image))(
         jnp.array([1.0, 0.7, 2.2]))
     assert float(jnp.abs(g).max()) > 0.0
+
+
+@pytest.mark.parametrize("table", ["super64", "super64s2"])
+def test_camera_grads_sorted_matches_ad(sphere_volume, table):
+    """Round 5 (VERDICT r4 item 5): camera gradients under the SHIPPED
+    fast VJP.  march_vjp='sorted' + camera_grads=True emits exact
+    sample-position cotangents (sampling._position_cotangents
+    differentiates the same forward eval the AD path does), so look_from
+    grads match march_vjp='ad' on both table flavors."""
+    vol = jnp.asarray(sphere_volume)
+    tf = jnp.asarray(get_tf("tf5", 16))
+    lf = jnp.asarray(np.array([1.3, 0.7, 2.1], np.float32))
+    key = jax.random.PRNGKey(7)
+    cfg_ad = RenderConfig(volume_shape=vol.shape, image_shape=(16, 16),
+                          max_samples=48, block_size=8, march_table=table,
+                          march_vjp="ad", camera_grads=True)
+    cfg_s = cfg_ad.replace(march_vjp="sorted")
+
+    def loss(cfg):
+        return lambda l: jnp.sum(render(
+            vol, tf, l, cfg, sampling_rate=0.7, key=key).image ** 2)
+
+    g_ad = jax.grad(loss(cfg_ad))(lf)
+    g_s = jax.grad(loss(cfg_s))(lf)
+    assert float(jnp.abs(g_ad).max()) > 0.0
+    np.testing.assert_allclose(np.asarray(g_s), np.asarray(g_ad),
+                               rtol=1e-3, atol=1e-9)
+
+
+def test_sorted_position_cotangents_finite_difference():
+    """The sorted VJP's sample-position cotangents
+    (sampling._position_cotangents) against central differences of the
+    sampler itself.  NOTE an end-to-end FD test on look_from is ill-posed:
+    per-ray ``n_samples = floor(sr*ray_len*diag) + 1`` makes the rendered
+    loss DISCONTINUOUS in the camera (some ray always sits near a floor
+    boundary), so FD is checked here at the sampler level where the
+    function is piecewise smooth (hat weights), at generic non-boundary
+    positions.  End-to-end camera-grad correctness is covered by the
+    sorted == AD tests above."""
+    from differender_tpu.sampling import (SampleSpec, sample_block_sorted,
+                                          supercell_table)
+    rng = np.random.default_rng(5)
+    vol = jnp.asarray(rng.random((16, 16, 16), np.float32))
+    table = jnp.asarray(np.asarray(supercell_table(vol)))
+    K, N = 4, 8
+    spec = SampleSpec(volume_shape=(16, 16, 16), delta=1e-3, group=1,
+                      parity=True, n_tiles=1, box=8, box_rows=256,
+                      window_rows=64, camera_grads=True)
+    # Generic world positions well inside the volume, away from voxel
+    # boundaries (coordinate = clip(0.5*(p+d)+0.5)*15 — irrational-ish
+    # offsets keep every stencil point off integer coordinates).
+    p = (rng.random((3, K, N)) * 1.4 - 0.7 + 0.013).astype(np.float32)
+    px, py, pz = (jnp.asarray(p[i]) for i in range(3))
+    wi = jnp.asarray(rng.random((K, N), np.float32))
+    wg = jnp.asarray(rng.random((3, K, N), np.float32))
+
+    def loss(px_, py_, pz_):
+        i0, (gx, gy, gz) = sample_block_sorted(spec, vol, table,
+                                               px_, py_, pz_)
+        return jnp.sum(wi * i0 + wg[0] * gx + wg[1] * gy + wg[2] * gz)
+
+    g = jax.grad(loss, argnums=(0, 1, 2))(px, py, pz)
+    eps = 3e-4
+    # FD a handful of entries per axis (full Jacobian FD would be slow).
+    checked = 0
+    for ax, parr in enumerate((px, py, pz)):
+        for (k, n) in [(0, 0), (1, 3), (3, 7)]:
+            e = jnp.zeros((K, N), jnp.float32).at[k, n].set(eps)
+            args_p = [px, py, pz]
+            args_m = [px, py, pz]
+            args_p[ax] = parr + e
+            args_m[ax] = parr - e
+            fd = (float(loss(*args_p)) - float(loss(*args_m))) / (2 * eps)
+            got = float(g[ax][k, n])
+            # f32 FD noise: loss is O(10), eps 3e-4 -> ~1e-3 absolute.
+            assert abs(fd - got) <= 5e-2 * max(abs(fd), abs(got), 0.1), (
+                ax, k, n, fd, got)
+            checked += 1
+    assert checked == 9
+
+
+def test_camera_grads_blockwise_refuses(sphere_volume):
+    """The host-level blockwise backward cannot produce look_from grads
+    (rays built eagerly on the host) — it must refuse camera_grads."""
+    from differender_tpu.render import value_and_grad_blockwise
+    vol = jnp.asarray(sphere_volume)
+    tf = jnp.asarray(get_tf("tf5", 16))
+    cfg = RenderConfig(volume_shape=vol.shape, image_shape=(8, 8),
+                       max_samples=32, block_size=8, march_table="super64",
+                       march_vjp="sorted", camera_grads=True)
+    with pytest.raises(ValueError, match="camera_grads"):
+        value_and_grad_blockwise(vol, tf, jnp.array([1.0, 0.7, 2.2]), cfg,
+                                 lambda out: jnp.mean(out.image ** 2))
 
 
 class TestTiledVJP:

@@ -78,12 +78,30 @@ def test_camera_grads_opt_in(sphere_volume):
                                atol=1e-5, rtol=1e-4)
 
 
-def test_camera_grads_rejects_handwritten_vjp(sphere_volume):
+def test_camera_grads_rejects_tiled_vjp(sphere_volume):
+    """'tiled' still drops position cotangents; 'sorted' accepts since
+    round 5 (exact camera grads via sampling._position_cotangents)."""
     vol_user, _, _ = _inputs(sphere_volume)
     with pytest.raises(ValueError, match="march_vjp"):
         TorchRaycaster(vol_user.shape[1:], (6, 6), 16, jitter=False,
-                       camera_grads=True, march_vjp="sorted",
+                       camera_grads=True, march_vjp="tiled",
                        march_table="super64")
+
+
+def test_camera_grads_sorted_matches_ad(sphere_volume):
+    """Sorted-VJP camera grads through the torch bridge == the AD path's
+    (same loss, march_vjp the only difference)."""
+    m_ad, vol, tf, lf = _make(sphere_volume, camera_grads=True)
+    lf.requires_grad_(True)
+    (m_ad(vol, tf, lf) ** 2).mean().backward()
+    g_ad = lf.grad.numpy().copy()
+
+    m_s, _, _, _ = _make(sphere_volume, camera_grads=True,
+                         march_vjp="sorted", march_table="super64")
+    lf2 = lf.detach().clone().requires_grad_(True)
+    (m_s(vol.detach(), tf.detach(), lf2) ** 2).mean().backward()
+    np.testing.assert_allclose(lf2.grad.numpy(), g_ad,
+                               atol=1e-5, rtol=1e-3)
 
 
 def test_batched_forward_and_grads(sphere_volume):
