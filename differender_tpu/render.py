@@ -1039,8 +1039,18 @@ def render_depth_sorted(
     background rays (nothing occupied along them) form a chunk that
     finishes almost immediately.  Exact: every ray marches its identical
     sample sequence (permutation + the existing prefix-closed skip);
-    images/grads match :func:`render` to f32 fusion noise.  Like
-    :func:`render_strips`, do not wrap in an outer jit.
+    images/grads match :func:`render` to f32 fusion noise.
+
+    WRAP THE WHOLE CALL (or the grad step over it) IN ONE ``jax.jit`` at
+    headline-class scale: traced as one program, XLA sequences the
+    chunks' buffers; the un-jitted host-level form enqueues every chunk
+    program's fwd+bwd transients at once (buffers are allocated at
+    ENQUEUE time on this runtime) and RESOURCE_EXHAUSTs at 256^3/512^2
+    (measured: r11/r20 packed_ds4 error rows vs the jitted r14 form's
+    2.07 s, experiments/r8_headline_results.jsonl).  Only fall back to
+    the un-jitted form when the monolithic program exceeds the remote
+    compile budget (1024^2-class images — the :func:`render_strips`
+    regime).
     """
     sr = config.sampling_rate if sampling_rate is None else sampling_rate
     volume = jnp.asarray(volume, jnp.float32)
@@ -1277,8 +1287,12 @@ def _choose_diff_renderer_timed(volume, tf, look_from, config,
                 _fn(v, t, lf, config, sampling_rate=sr).image ** 2),
                 argnums=(0, 1))(vol32, tf32)
             return c + 1.0 + g[0].ravel()[0] * 0.0
-        # depth_sorted is a host-level multi-program driver: no outer jit.
-        runner = step if name == "depth_sorted" else jax.jit(step)
+        # ALL candidates under one jit — including depth_sorted: its
+        # un-jitted host-level form enqueues every chunk's fwd+bwd
+        # transients at once and RESOURCE_EXHAUSTs at headline scale
+        # (r11/r20 packed_ds4 rows); one program lets XLA sequence the
+        # chunks' buffers, and is also how bench.py/users run the winner.
+        runner = jax.jit(step)
         c = jnp.float32(float(runner(jnp.float32(0.0))))    # warmup/compile
         t0 = _time.time()
         c = jnp.float32(float(runner(c)))

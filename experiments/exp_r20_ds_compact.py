@@ -76,10 +76,13 @@ def loss(v, t, c):
     return jnp.mean(out.image ** 2)
 
 
-# render_depth_sorted is a host-level multi-program driver: no outer jit
-# (each chunk compiles its own forward/backward); grads accumulate across
-# chunk programs exactly (rays are independent).
-grad_fn = jax.grad(loss, argnums=(0, 1))
+# ONE outer jit over all chunks (the r14 form that measured 2.07 s): the
+# un-jitted host-level multi-program form enqueues every chunk's
+# forward+backward transients at once and RESOURCE_EXHAUSTs at this scale
+# (r11 packed_ds4 rows, r20 ds4_ctl/ds4_c2_8 rows) — the same enqueue-time
+# allocation behavior as the 512^3 blockwise lesson (CLAUDE.md).  Under
+# one jit XLA schedules the chunks' buffers sequentially.
+grad_fn = jax.jit(jax.grad(loss, argnums=(0, 1)))
 
 try:
     t0 = time.time()
