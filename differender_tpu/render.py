@@ -1411,6 +1411,16 @@ def value_and_grad_blockwise(
     available (rays are built eagerly on the host); use plain
     :func:`render` for camera gradients.
 
+    KNOWN LIMIT (measured): ``config.compact_after > 0`` works at small
+    scale (the multichip dryrun cross-checks it against monolithic AD)
+    but does NOT compile at 512^3 on this stack — the alive-order +
+    packed-take programs push the per-block backward over the remote
+    compile helper's budget (r18: three deterministic
+    ``tpu_compile_helper subprocess exit code 1`` crashes across rounds;
+    experiments/r5_sorted512_results.jsonl).  At that scale run it
+    uncompacted (warm 512^3/512^2 steps ~9.5-9.9 s, ≈ monolithic-AD
+    speed with one block's working set of peak memory).
+
     Args:
         loss_fn: maps ``(RenderOutput, *loss_args)`` to a scalar loss.
             Must be a STABLE, PURE function: the jitted loss head is

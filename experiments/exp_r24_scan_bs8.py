@@ -50,7 +50,7 @@ angles = np.linspace(0.0, 2 * np.pi, BS, endpoint=False)
 lfs = np.stack([[np.cos(a) * 2.4, 0.8, np.sin(a) * 2.4] for a in angles]
                ).astype(np.float32)
 
-rc = Raycaster((1, VOL, VOL, VOL), (IMG, IMG), 128, sampling_rate=SR,
+rc = Raycaster((VOL, VOL, VOL), (IMG, IMG), 128, sampling_rate=SR,
                jitter=False, max_samples=MS, block_size=64,
                march_vjp="sorted", march_table="super64",
                batch_mode=("vmap" if arm == "vmap" else "scan"))
