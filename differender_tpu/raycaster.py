@@ -71,7 +71,16 @@ class Raycaster:
             view's ERT block skip a real branch; "vmap" lowers the skip
             cond to a select (both branches run — every view pays the
             batch's deepest ray; kept for cross-checking and for callers
-            that need a vmappable batch axis).
+            that need a vmappable batch axis).  SCALE LIMITS (measured,
+            r24/r26 rows in experiments/r8_headline_results.jsonl): the
+            BS=8 "scan" FORWARD at 256^3/512^2 compiles and costs 1.15x
+            the single-view sum (3.32 s); the BS=8 "vmap" forward and
+            the batched GRADIENT program in EITHER mode exceed the
+            remote compile budget at 256^3 (512^2 and 256^2 alike,
+            march_vjp="sorted").  For multi-view gradient steps at that
+            scale run per-view programs with host-side gradient
+            accumulation — :func:`differender_tpu.parallel.
+            train_step_views` (accum mode) is the library form.
     """
 
     def __init__(self, volume_shape, output_shape, tf_shape: int,
