@@ -192,12 +192,20 @@ class RenderConfig:
                                      # exact sample-position cotangents
                                      # when this flag is set, at the cost
                                      # of one extra row gather per block
-                                     # backward.  'tiled' still drops the
-                                     # position terms, so render() REFUSES
-                                     # tiled+camera_grads instead of
-                                     # returning silently-wrong grads; the
-                                     # blockwise 512^3 backward likewise
-                                     # refuses (host-built rays).
+                                     # backward.  MEASURED SCALE LIMIT
+                                     # (r27 rows): sorted+camera compiles
+                                     # and runs at 128^3/256^2 (0.47 s vs
+                                     # 0.21 s without camera terms); at
+                                     # 256^3-class the position-VJP graph
+                                     # exceeds the remote compile budget
+                                     # (deterministic helper crash, with
+                                     # or without compaction) — use
+                                     # march_vjp='ad' there.  'tiled'
+                                     # still drops the position terms, so
+                                     # render() REFUSES tiled+camera_grads
+                                     # instead of returning silently-wrong
+                                     # grads; the blockwise 512^3 backward
+                                     # likewise refuses (host-built rays).
     occupancy_skip: bool = True      # nondiff path: macrocell distance-
                                      # field empty-space jumps (semantics-
                                      # exact — skipped samples provably sit
