@@ -384,6 +384,35 @@ def test_compacted_march_exact(shell_volume):
                                            atol=1e-5 * sc)
 
 
+def test_compacted_march_exact_quick(shell_volume):
+    """Quick-tier guard for the headline mechanism (the full
+    cross-regime sweep ``test_compacted_march_exact`` is slow-tier):
+    ONE mixed-termination TF, one compaction config — image bitwise,
+    grads to fusion noise."""
+    vol = jnp.asarray(shell_volume)
+    lf = jnp.asarray(np.array([1.2, 0.8, 2.0], np.float32))
+    key = jax.random.PRNGKey(2)
+    base = RenderConfig(volume_shape=vol.shape, image_shape=(16, 16),
+                        max_samples=64, block_size=8, march_vjp="sorted",
+                        march_table="super64")
+    cfg_c = base.replace(compact_after=2, compact_prefix=0.25)
+    tfx = jnp.asarray(get_tf("tf1", 32))
+    a = render(vol, tfx, lf, base, sampling_rate=0.8, key=key)
+    b = render(vol, tfx, lf, cfg_c, sampling_rate=0.8, key=key)
+    np.testing.assert_allclose(np.asarray(b.image), np.asarray(a.image),
+                               atol=1e-6)
+    ga = jax.grad(lambda v, t: jnp.sum(render(
+        v, t, lf, base, sampling_rate=0.8, key=key).image),
+        argnums=(0, 1))(vol, tfx)
+    gb = jax.grad(lambda v, t: jnp.sum(render(
+        v, t, lf, cfg_c, sampling_rate=0.8, key=key).image),
+        argnums=(0, 1))(vol, tfx)
+    for x, y in zip(ga, gb):
+        sc = max(float(jnp.abs(x).max()), 1e-9)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(x),
+                                   atol=1e-5 * sc)
+
+
 def test_compacted_march_refuses_tiled():
     import pytest
     cfg = RenderConfig(volume_shape=(16, 16, 16), image_shape=(16, 16),
